@@ -1,0 +1,154 @@
+"""Unified configuration for the SLAM system.
+
+One dataclass replaces the reference's three config tiers (hardcoded
+SLAMParameters at arguments/__init__.py:122-164, the positional caminfo.txt
+line, and per-dataset shell-script flags in replica.sh:135-142 /
+tum.sh:135-142).  Dataset presets carry the published per-dataset tuning.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+from .utils.camera import Intrinsics
+
+
+@dataclass(frozen=True)
+class GICPConfig:
+    """G-ICP registration parameters (reference: pygicp defaults + CLI)."""
+
+    max_correspondence_distance: float = 0.02  # replica.sh:139 (TUM: 0.03)
+    knn_max_distance: float = 99999.0  # gs_icp_slam.py:236
+    k_neighbors: int = 20  # fast_gicp default k for covariance estimation
+    max_iterations: int = 64
+    transformation_epsilon: float = 5e-4
+    rotation_epsilon: float = 2e-3
+    plane_eps: float = 1e-3  # plane-regularized smallest eigenvalue
+    lm_init_lambda: float = 1e-9  # tiny damping for the 6x6 solve
+
+
+@dataclass(frozen=True)
+class OptConfig:
+    """3DGS optimizer hyperparameters (arguments/__init__.py:138-152)."""
+
+    position_lr: float = 1.6e-6
+    spatial_lr_scale: float = 2.5  # scene_extent, mp_Tracker.py:74
+    feature_lr: float = 2.5e-3
+    opacity_lr: float = 0.05
+    scaling_lr: float = 5e-3
+    rotation_lr: float = 1e-3
+    lambda_dssim: float = 0.2
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-15
+    depth_loss_weight: float = 0.1
+    depth_d_max: float = 10.0
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Gaussian map capacities and maintenance."""
+
+    capacity: int = 1 << 19  # max gaussians (padded static shape)
+    sh_degree: int = 0  # reference SLAM uses degree 0
+    init_opacity: float = 0.1
+    prune_interval: int = 200  # mapper iterations between prunes
+    prune_min_opacity: float = 0.005
+    prune_extent: float = 2.5  # replica (tum: 10.0), mp_Mapper.py:81-84
+    trackable_opacity_th: float = 0.05
+    densify_enabled: bool = False  # reference defines but never calls densify
+    densify_grad_threshold: float = 2e-4
+    percent_dense: float = 0.01
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe selection thresholds (mp_Tracker.py:233-249)."""
+
+    keyframe_th: float = 0.7  # tracking KF if overlap ratio below this
+    keyframe_freq: int = 10  # mapping KF every N frames since tracking KF
+    overlapped_th: float = 5e-4  # sq-dist threshold for overlap counting
+    overlapped_th2: float = 5e-5  # sq-dist threshold for dedup before insert
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Single-process pipeline knobs (replacing the 2-process split)."""
+
+    mapping_iters_per_frame: int = 3
+    mapping_iters_final: int = 0  # extra optimization after last frame
+    fps_cap: Optional[float] = 30.0  # None = unlimited mode
+    target_capacity: int = 1 << 18  # trackable target gaussians cap
+    tracking_source_capacity: int = 0  # 0 = derive from downsample grid
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    tile_size: int = 16
+    max_per_tile: int = 512  # per-tile gaussian list capacity
+    visible_capacity: int = 1 << 16  # per-view visible gaussians cap
+    znear: float = 0.2  # rasterizer frustum near (CUDA kernel uses 0.2)
+    transmittance_eps: float = 1e-4  # stop compositing when T below this
+    alpha_min: float = 1.0 / 255.0
+    bg_color: tuple = (0.0, 0.0, 0.0)
+
+
+@dataclass(frozen=True)
+class SLAMConfig:
+    intr: Intrinsics = field(default_factory=lambda: Intrinsics(640, 480, 525.0, 525.0, 319.5, 239.5))
+    dataset_type: str = "replica"
+    downsample_rate: int = 10
+    gicp: GICPConfig = field(default_factory=GICPConfig)
+    opt: OptConfig = field(default_factory=OptConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    kf: KeyframeConfig = field(default_factory=KeyframeConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+
+    def replace(self, **kw) -> "SLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def parse_caminfo(path: str) -> tuple[Intrinsics, str]:
+    """Parse the reference caminfo.txt (line 3: W H fx fy cx cy depth_scale
+    depth_trunc dataset_type; gs_icp_slam.py:52-62)."""
+    with open(path) as f:
+        lines = f.readlines()
+    parts = lines[2].split()
+    intr = Intrinsics(
+        width=int(parts[0]), height=int(parts[1]),
+        fx=float(parts[2]), fy=float(parts[3]),
+        cx=float(parts[4]), cy=float(parts[5]),
+        depth_scale=float(parts[6]), depth_trunc=float(parts[7]),
+    )
+    return intr, parts[8]
+
+
+def replica_config(intr: Optional[Intrinsics] = None) -> SLAMConfig:
+    """Replica tuning from replica.sh:135-142."""
+    intr = intr or Intrinsics(1200, 680, 600.0, 600.0, 599.5, 339.5,
+                              depth_scale=6553.5, depth_trunc=12.0)
+    return SLAMConfig(
+        intr=intr,
+        dataset_type="replica",
+        downsample_rate=10,
+        gicp=GICPConfig(max_correspondence_distance=0.02),
+        kf=KeyframeConfig(keyframe_th=0.7, overlapped_th=5e-4, overlapped_th2=5e-5),
+        map=MapConfig(trackable_opacity_th=0.05, prune_extent=2.5),
+    )
+
+
+def tum_config(intr: Optional[Intrinsics] = None) -> SLAMConfig:
+    """TUM tuning from tum.sh:135-142 (fr1/fr2/fr3 intrinsics differ; pass
+    the right caminfo)."""
+    intr = intr or Intrinsics(640, 480, 517.3, 516.5, 318.6, 255.3,
+                              depth_scale=5000.0, depth_trunc=6.0)
+    return SLAMConfig(
+        intr=intr,
+        dataset_type="tum",
+        downsample_rate=5,
+        gicp=GICPConfig(max_correspondence_distance=0.03),
+        kf=KeyframeConfig(keyframe_th=0.81, overlapped_th=1e-3, overlapped_th2=1e-3),
+        map=MapConfig(trackable_opacity_th=0.09, prune_extent=10.0),
+    )

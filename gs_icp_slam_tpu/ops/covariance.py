@@ -1,0 +1,83 @@
+"""Per-point covariance estimation and the covariance <-> (quat, scale)
+bridge that implements the paper's covariance-sharing trick.
+
+Mirrors the fast_gicp fork's API semantics (SURVEY §2.9a):
+  * estimate_covariances        ~ calculate_*_covariance_with_filter
+  * cov_to_quat_scale           ~ get_*_rotationsq / get_*_scales
+  * quat_scale_to_reg_cov       ~ set_target_covariances_fromqs
+  * plane regularization: eigenvalues -> (eps, 1, 1) ascending, i.e. the
+    classic G-ICP plane prior (Segal et al.), fast_gicp RegularizationMethod
+    PLANE with eps = 1e-3.
+
+Scales exported to the mapper are sqrt(eigenvalues) of the RAW covariance
+(the gaussian sizes), while registration uses the regularized covariance.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.quat import quat_to_rotmat, rotmat_to_quat
+from .eigh3 import eigh3x3
+
+
+def estimate_covariances(points: jnp.ndarray, neighbor_idx: jnp.ndarray,
+                         valid: jnp.ndarray):
+    """Sample covariance of each point's k neighbors.
+
+    Args:
+      points: (N, 3).
+      neighbor_idx: (N, k) indices into points (self included).
+      valid: (N,) bool — invalid points yield identity covariance.
+    Returns:
+      cov: (N, 3, 3) raw covariances (biased, divided by k — matching
+           fast_gicp's normalization).
+    """
+    nbrs = points[neighbor_idx]  # (N, k, 3)
+    mean = jnp.mean(nbrs, axis=1, keepdims=True)
+    centered = nbrs - mean
+    k = neighbor_idx.shape[1]
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
+    eye = jnp.eye(3, dtype=points.dtype)
+    return jnp.where(valid[:, None, None], cov, eye)
+
+
+def regularize_plane(cov: jnp.ndarray, eps: float = 1e-3):
+    """G-ICP plane regularization: C -> V diag(eps, 1, 1) V^T (ascending)."""
+    _, vecs = eigh3x3(cov)
+    d = jnp.array([eps, 1.0, 1.0], cov.dtype)
+    return jnp.einsum("...ij,j,...kj->...ik", vecs, d, vecs)
+
+
+def cov_to_quat_scale(cov: jnp.ndarray):
+    """Decompose raw covariances into (xyzw quat, sqrt-eigenvalue scales).
+
+    The rotation columns correspond to ascending eigenvalues; scales are in
+    the same order, so quat_scale_to_cov(quat, scale) reconstructs cov.
+    """
+    vals, vecs = eigh3x3(cov)
+    scales = jnp.sqrt(jnp.maximum(vals, 1e-12))
+    quat = rotmat_to_quat(vecs)
+    return quat, scales
+
+
+def quat_scale_to_cov(quat: jnp.ndarray, scales: jnp.ndarray):
+    """C = R diag(s^2) R^T."""
+    R = quat_to_rotmat(quat)
+    return jnp.einsum("...ij,...j,...kj->...ik", R, scales * scales, R)
+
+
+def quat_scale_to_reg_cov(quat: jnp.ndarray, scales: jnp.ndarray, eps: float = 1e-3):
+    """Plane-regularized covariance directly from (quat, scale) — no eigh.
+
+    Since C = R diag(s^2) R^T is already an eigendecomposition, plane
+    regularization just replaces the smallest s^2 with eps and the others
+    with 1, permuting nothing: we only need to find argmin(s).
+    Implements the `set_target_covariances_fromqs` path (mp_Tracker.py:288)
+    where optimized map-gaussian rotations/scales re-enter G-ICP as target
+    covariances.
+    """
+    R = quat_to_rotmat(quat)
+    s2 = scales * scales
+    amin = jnp.argmin(s2, axis=-1)
+    d = jnp.where(jnp.arange(3) == amin[..., None], eps, 1.0).astype(R.dtype)
+    return jnp.einsum("...ij,...j,...kj->...ik", R, d, R)

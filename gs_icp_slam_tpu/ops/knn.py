@@ -1,0 +1,102 @@
+"""Neighbor search on TPU: brute force, MXU-shaped, static shapes.
+
+The reference relies on a PCL kd-tree inside fast_gicp (SURVEY §2.9).  Trees
+are pointer-chasing and hostile to TPUs; instead we compute distances as
+   d2(a, b) = |a|^2 - 2 a.b + |b|^2
+so the inner product rides the MXU, and reduce on the fly over reference
+chunks so the full distance matrix is never materialized in HBM.
+
+Two entry points:
+  nn_search : 1-NN (index + squared distance) of each query in a masked
+              reference set — the per-GN-iteration correspondence kernel.
+  knn_search: k-NN indices for covariance estimation (includes self when
+              query == ref, like fast_gicp's kd-tree search).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(3.4e38)
+
+
+def _sq_norms(x):
+    return jnp.sum(x * x, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def nn_search(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
+              chunk: int = 4096):
+    """1-NN of each query point in the valid subset of ref.
+
+    Args:
+      query: (Q, 3) float32.
+      ref: (R, 3) float32, R a multiple of `chunk` is not required.
+      ref_valid: (R,) bool — invalid slots never match.
+    Returns:
+      idx: (Q,) int32 index into ref (garbage if no valid ref at all).
+      sqdist: (Q,) float32 squared distance (_BIG where no valid match).
+    """
+    Q = query.shape[0]
+    R = ref.shape[0]
+    pad = (-R) % chunk
+    if pad:
+        ref = jnp.concatenate([ref, jnp.zeros((pad, 3), ref.dtype)], axis=0)
+        ref_valid = jnp.concatenate([ref_valid, jnp.zeros((pad,), bool)], axis=0)
+    n_chunks = ref.shape[0] // chunk
+
+    q_norm = _sq_norms(query)  # (Q,)
+    ref_c = ref.reshape(n_chunks, chunk, 3)
+    valid_c = ref_valid.reshape(n_chunks, chunk)
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        r, v, base = inp
+        # (Q, chunk) distances via MXU
+        dots = query @ r.T
+        d2 = q_norm[:, None] - 2.0 * dots + _sq_norms(r)[None, :]
+        d2 = jnp.where(v[None, :], d2, _BIG)
+        c_arg = jnp.argmin(d2, axis=1)
+        c_min = jnp.take_along_axis(d2, c_arg[:, None], axis=1)[:, 0]
+        upd = c_min < best_d
+        best_d = jnp.where(upd, c_min, best_d)
+        best_i = jnp.where(upd, base + c_arg.astype(jnp.int32), best_i)
+        return (best_d, best_i), None
+
+    init = (jnp.full((Q,), _BIG, jnp.float32), jnp.zeros((Q,), jnp.int32))
+    bases = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
+    (best_d, best_i), _ = jax.lax.scan(body, init, (ref_c, valid_c, bases))
+    return best_i, best_d
+
+
+@partial(jax.jit, static_argnames=("k", "q_chunk"))
+def knn_search(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
+               k: int = 20, q_chunk: int = 1024):
+    """k-NN indices of each query in ref (self included if query == ref).
+
+    Processes query chunks against the full reference (distance rows live in
+    VMEM-sized blocks); suited to the per-frame source cloud (~10^4 points).
+
+    Returns:
+      idx: (Q, k) int32, nearest first.
+      sqd: (Q, k) float32 (_BIG where fewer than k valid refs exist).
+    """
+    Q = query.shape[0]
+    pad_q = (-Q) % q_chunk
+    if pad_q:
+        query = jnp.concatenate([query, jnp.zeros((pad_q, 3), query.dtype)], axis=0)
+    nq = query.shape[0] // q_chunk
+    r_norm = jnp.where(ref_valid, _sq_norms(ref), _BIG)
+
+    def body(q):
+        d2 = _sq_norms(q)[:, None] - 2.0 * (q @ ref.T) + r_norm[None, :]
+        d2 = jnp.where(ref_valid[None, :], d2, _BIG)
+        neg_d, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32), -neg_d
+
+    idx, sqd = jax.lax.map(body, query.reshape(nq, q_chunk, 3))
+    idx = idx.reshape(-1, k)[:Q]
+    sqd = sqd.reshape(-1, k)[:Q]
+    return idx, sqd

@@ -1,0 +1,180 @@
+"""Tests for eigh3x3, kNN, covariance estimation, and G-ICP alignment on
+synthetic rigid-motion data (SURVEY §4.1-4.2)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gs_icp_slam_tpu.ops.eigh3 import eigh3x3, eigvals3x3
+from gs_icp_slam_tpu.ops.knn import nn_search, knn_search
+from gs_icp_slam_tpu.ops.covariance import (cov_to_quat_scale,
+                                            estimate_covariances,
+                                            quat_scale_to_cov,
+                                            quat_scale_to_reg_cov,
+                                            regularize_plane)
+from gs_icp_slam_tpu.ops.gicp import (GICPTarget, gicp_align, make_source,
+                                      target_from_points)
+from gs_icp_slam_tpu.config import GICPConfig
+from gs_icp_slam_tpu.utils.se3 import se3_exp
+
+
+def random_spd(n, seed=0, aniso=10.0):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, 3, 3))
+    q, _ = np.linalg.qr(A)
+    lam = rng.uniform(0.1, aniso, size=(n, 3))
+    return np.einsum("nij,nj,nkj->nik", q, lam, q).astype(np.float32)
+
+
+class TestEigh3:
+    def test_eigvals_match_numpy(self):
+        C = random_spd(200)
+        got = np.asarray(eigvals3x3(jnp.asarray(C)))
+        expected = np.linalg.eigvalsh(C.astype(np.float64))
+        np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
+
+    def test_full_decomposition_reconstructs(self):
+        C = random_spd(200, seed=1)
+        vals, vecs = eigh3x3(jnp.asarray(C))
+        vals, vecs = np.asarray(vals), np.asarray(vecs)
+        rec = np.einsum("nij,nj,nkj->nik", vecs, vals, vecs)
+        np.testing.assert_allclose(rec, C, rtol=5e-3, atol=5e-3)
+        # orthonormal, right-handed
+        eye = np.einsum("nij,nkj->nik", vecs, vecs)
+        np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-4)
+        assert np.all(np.linalg.det(vecs) > 0.9)
+
+    def test_degenerate_isotropic(self):
+        C = jnp.broadcast_to(2.5 * jnp.eye(3), (4, 3, 3))
+        vals, vecs = eigh3x3(C)
+        np.testing.assert_allclose(np.asarray(vals), 2.5, atol=1e-5)
+        eye = np.einsum("nij,nkj->nik", np.asarray(vecs), np.asarray(vecs))
+        np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5)
+
+    def test_degenerate_planar(self):
+        # two equal large eigenvalues (disc), tiny third — the G-ICP shape
+        rng = np.random.default_rng(3)
+        A = rng.normal(size=(8, 3, 3))
+        q, _ = np.linalg.qr(A)
+        lam = np.stack([np.full(8, 1.0), np.full(8, 1.0), np.full(8, 1e-3)], axis=-1)
+        C = np.einsum("nij,nj,nkj->nik", q, lam, q).astype(np.float32)
+        vals, vecs = eigh3x3(jnp.asarray(C))
+        vals, vecs = np.asarray(vals), np.asarray(vecs)
+        np.testing.assert_allclose(np.sort(vals, axis=-1), np.sort(lam, axis=-1),
+                                   rtol=1e-3, atol=1e-4)
+        rec = np.einsum("nij,nj,nkj->nik", vecs, vals, vecs)
+        np.testing.assert_allclose(rec, C, atol=5e-3)
+
+
+class TestKNN:
+    def test_nn_search_vs_numpy(self):
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(100, 3)).astype(np.float32)
+        r = rng.normal(size=(300, 3)).astype(np.float32)
+        valid = np.ones(300, bool)
+        valid[::7] = False
+        idx, sqd = nn_search(jnp.asarray(q), jnp.asarray(r), jnp.asarray(valid), chunk=64)
+        d2 = ((q[:, None] - r[None]) ** 2).sum(-1)
+        d2[:, ~valid] = np.inf
+        np.testing.assert_array_equal(np.asarray(idx), d2.argmin(1))
+        np.testing.assert_allclose(np.asarray(sqd), d2.min(1), rtol=1e-4, atol=1e-5)
+
+    def test_knn_includes_self(self):
+        rng = np.random.default_rng(1)
+        p = rng.normal(size=(50, 3)).astype(np.float32)
+        idx, sqd = knn_search(jnp.asarray(p), jnp.asarray(p), jnp.ones(50, bool),
+                              k=4, q_chunk=16)
+        np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(50))
+        np.testing.assert_allclose(np.asarray(sqd)[:, 0], 0.0, atol=1e-5)
+
+    def test_knn_vs_numpy(self):
+        rng = np.random.default_rng(2)
+        p = rng.normal(size=(64, 3)).astype(np.float32)
+        idx, _ = knn_search(jnp.asarray(p), jnp.asarray(p), jnp.ones(64, bool),
+                            k=5, q_chunk=64)
+        d2 = ((p[:, None] - p[None]) ** 2).sum(-1)
+        expected = np.argsort(d2, axis=1)[:, :5]
+        got = np.sort(np.asarray(idx), axis=1)
+        np.testing.assert_array_equal(got, np.sort(expected, axis=1))
+
+
+class TestCovariance:
+    def test_estimate_covariance_plane(self):
+        # points on a plane -> smallest eigenvalue ~0, normal = plane normal
+        rng = np.random.default_rng(4)
+        n = 500
+        pts = np.zeros((n, 3), np.float32)
+        pts[:, 0] = rng.uniform(-1, 1, n)
+        pts[:, 1] = rng.uniform(-1, 1, n)
+        idx, _ = knn_search(jnp.asarray(pts), jnp.asarray(pts), jnp.ones(n, bool), k=20)
+        cov = estimate_covariances(jnp.asarray(pts), idx, jnp.ones(n, bool))
+        vals = np.asarray(eigvals3x3(cov))
+        assert np.all(vals[:, 0] < 1e-6)
+        assert np.all(vals[:, 2] > 1e-4)
+
+    def test_regularize_plane_eigenvalues(self):
+        C = random_spd(32, seed=5)
+        reg = regularize_plane(jnp.asarray(C), eps=1e-3)
+        vals = np.sort(np.linalg.eigvalsh(np.asarray(reg).astype(np.float64)), axis=-1)
+        np.testing.assert_allclose(vals[:, 0], 1e-3, rtol=1e-2)
+        np.testing.assert_allclose(vals[:, 1:], 1.0, rtol=1e-2)
+
+    def test_quat_scale_roundtrip(self):
+        C = random_spd(64, seed=6)
+        q, s = cov_to_quat_scale(jnp.asarray(C))
+        rec = np.asarray(quat_scale_to_cov(q, s))
+        np.testing.assert_allclose(rec, C, rtol=2e-2, atol=2e-2)
+
+    def test_quat_scale_to_reg_cov_matches_regularize(self):
+        C = random_spd(64, seed=7)
+        q, s = cov_to_quat_scale(jnp.asarray(C))
+        got = np.asarray(quat_scale_to_reg_cov(q, s, eps=1e-3))
+        expected = np.asarray(regularize_plane(jnp.asarray(C), eps=1e-3))
+        np.testing.assert_allclose(got, expected, atol=5e-3)
+
+
+def make_room_cloud(n=2000, seed=0):
+    """Points on the walls of a box — plane-rich, like indoor RGB-D."""
+    rng = np.random.default_rng(seed)
+    per = n // 5
+    pts = []
+    # floor, two walls, ceiling, back wall
+    for axis, offset in [(2, 0.0), (0, -2.0), (0, 2.0), (2, 4.0), (1, 2.0)]:
+        p = rng.uniform(-2, 2, size=(per, 3))
+        p[:, axis] = offset + rng.normal(0, 0.002, per)  # 2mm sensor noise
+        pts.append(p)
+    return np.concatenate(pts).astype(np.float32)
+
+
+class TestGICP:
+    def test_align_recovers_rigid_motion(self):
+        cfg = GICPConfig(max_correspondence_distance=0.5, k_neighbors=10)
+        target_pts = make_room_cloud(2000)
+        xi = np.array([0.02, -0.015, 0.01, 0.05, -0.03, 0.04], np.float32)
+        T_true = np.asarray(se3_exp(jnp.asarray(xi)))
+        # source = inverse-transformed target (so aligning source->target
+        # should recover T_true)
+        src = (target_pts - T_true[:3, 3]) @ T_true[:3, :3]
+        valid = jnp.ones(len(src), bool)
+
+        target, _, _ = target_from_points(jnp.asarray(target_pts), valid, cfg)
+        source = make_source(jnp.asarray(src.astype(np.float32)), valid, cfg)
+        T_est, n_iters = gicp_align(source, target, jnp.eye(4), cfg)
+        T_est = np.asarray(T_est)
+        np.testing.assert_allclose(T_est[:3, 3], T_true[:3, 3], atol=2e-3)
+        np.testing.assert_allclose(T_est[:3, :3], T_true[:3, :3], atol=2e-3)
+        assert int(n_iters) < 64
+
+    def test_align_with_initial_guess_and_partial_overlap(self):
+        cfg = GICPConfig(max_correspondence_distance=0.3, k_neighbors=10)
+        target_pts = make_room_cloud(2500, seed=2)
+        xi = np.array([0.01, 0.02, -0.01, 0.03, 0.02, -0.05], np.float32)
+        T_true = np.asarray(se3_exp(jnp.asarray(xi)))
+        src_full = (target_pts - T_true[:3, 3]) @ T_true[:3, :3]
+        src = src_full[: 2000]  # partial overlap
+        valid_t = jnp.ones(len(target_pts), bool)
+        valid_s = jnp.ones(len(src), bool)
+        target, _, _ = target_from_points(jnp.asarray(target_pts), valid_t, cfg)
+        source = make_source(jnp.asarray(src.astype(np.float32)), valid_s, cfg)
+        # init with identity (constant-position motion model)
+        T_est, _ = gicp_align(source, target, jnp.eye(4), cfg)
+        np.testing.assert_allclose(np.asarray(T_est)[:3, 3], T_true[:3, 3], atol=5e-3)
