@@ -80,17 +80,17 @@ class EngineConfig:
     mapping_iters_final: int = 0  # extra optimization after last frame
     fps_cap: Optional[float] = 30.0  # None = unlimited mode
     target_capacity: int = 1 << 18  # trackable target gaussians cap
-    tracking_source_capacity: int = 0  # 0 = derive from downsample grid
+    keyframe_capacity: int = 256  # stored keyframes (RGB-D + pose)
 
 
 @dataclass(frozen=True)
 class RenderConfig:
     tile_size: int = 16
-    max_per_tile: int = 512  # per-tile gaussian list capacity
-    visible_capacity: int = 1 << 16  # per-view visible gaussians cap
+    max_per_tile: int = 256  # per-tile gaussian list capacity (K)
+    visible_capacity: int = 1 << 17  # per-view visible gaussians cap (V)
+    tile_span: int = 3  # max tiles a splat covers per axis (D)
+    composite_chunk: int = 64  # tiles composited per lax.map step
     znear: float = 0.2  # rasterizer frustum near (CUDA kernel uses 0.2)
-    transmittance_eps: float = 1e-4  # stop compositing when T below this
-    alpha_min: float = 1.0 / 255.0
     bg_color: tuple = (0.0, 0.0, 0.0)
 
 
@@ -136,6 +136,29 @@ def replica_config(intr: Optional[Intrinsics] = None) -> SLAMConfig:
         gicp=GICPConfig(max_correspondence_distance=0.02),
         kf=KeyframeConfig(keyframe_th=0.7, overlapped_th=5e-4, overlapped_th2=5e-5),
         map=MapConfig(trackable_opacity_th=0.05, prune_extent=2.5),
+    )
+
+
+def synthetic_config(intr: Intrinsics, downsample_rate: int = 5,
+                     capacity: int = 1 << 16,
+                     target_capacity: int = 1 << 14,
+                     visible_capacity: int = 1 << 14) -> SLAMConfig:
+    """Small-scene tuning for the procedural synthetic sequence (tests and
+    the benchmark; Replica thresholds otherwise)."""
+    # Downsampled point spacing is ~z * rate / fx; the overlap thresholds are
+    # squared distances and must scale with it (Replica: 1.7cm spacing at 1m
+    # with ds=10/fx=600 vs these low-res synthetic frames at ~4-9cm).
+    return SLAMConfig(
+        intr=intr,
+        dataset_type="synthetic",
+        downsample_rate=downsample_rate,
+        gicp=GICPConfig(max_correspondence_distance=0.1),
+        kf=KeyframeConfig(keyframe_th=0.7, overlapped_th=8e-3,
+                          overlapped_th2=8e-4),
+        map=MapConfig(capacity=capacity, trackable_opacity_th=0.05,
+                      prune_extent=2.5),
+        engine=EngineConfig(target_capacity=target_capacity),
+        render=RenderConfig(visible_capacity=visible_capacity),
     )
 
 

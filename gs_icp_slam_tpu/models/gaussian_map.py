@@ -26,6 +26,7 @@ Parameter semantics match the reference exactly:
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -152,7 +153,8 @@ def add_gaussians(m: GaussianMap, points: jnp.ndarray, colors: jnp.ndarray,
                                                mode="drop"),
         rotation=m.rotation.at[slot].set(qts, mode="drop"),
         opacity_logit=m.opacity_logit.at[slot].set(
-            jnp.full((P, 1), float(inverse_sigmoid(jnp.float32(init_opacity)))),
+            jnp.full((P, 1), math.log(init_opacity / (1.0 - init_opacity)),
+                     jnp.float32),
             mode="drop"),
         trackable=m.trackable.at[slot].set(trk, mode="drop"),
         live=m.live.at[slot].set(True, mode="drop"),

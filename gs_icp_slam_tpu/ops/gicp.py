@@ -66,12 +66,22 @@ def _inv3x3_sym(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
 
 
-def make_source(points: jnp.ndarray, trackable: jnp.ndarray,
-                cfg: GICPConfig) -> GICPSource:
-    """Estimate source covariances among trackable points (the fork's
-    set_source_filter + calculate covariance path, mp_Tracker.py:191-195)."""
-    idx, _ = knn_search(points, points, trackable, k=cfg.k_neighbors)
-    cov_raw = estimate_covariances(points, idx, trackable)
+def make_source(points: jnp.ndarray, valid: jnp.ndarray,
+                cfg: GICPConfig,
+                trackable: jnp.ndarray | None = None) -> GICPSource:
+    """Estimate source covariances (the fork's set_source_filter +
+    calculate covariance path, mp_Tracker.py:191-195).
+
+    Covariances are estimated among `valid` points (all non-zero-depth
+    samples — they all become gaussians and need quat/scale inits), while
+    `trackable` (valid & z <= depth_trunc) gates which points participate
+    in registration; the reference's source filter plays both roles at
+    once because Replica's depth_trunc leaves the sets nearly identical.
+    """
+    if trackable is None:
+        trackable = valid
+    idx, _ = knn_search(points, points, valid, k=cfg.k_neighbors)
+    cov_raw = estimate_covariances(points, idx, valid)
     quat, scales = cov_to_quat_scale(cov_raw)
     cov_reg = regularize_plane(cov_raw, cfg.plane_eps)
     return GICPSource(points=points, cov=cov_reg, quat=quat, scales=scales,

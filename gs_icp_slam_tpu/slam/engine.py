@@ -1,0 +1,360 @@
+"""The SLAM engine: single-process fusion of the reference's tracker and
+mapper processes.
+
+The reference runs tracking (mp_Tracker.py) and mapping (mp_Mapper.py) as
+two OS processes spin-waiting on shared-memory flags (gs_icp_slam.py:81-131).
+Here the whole state — gaussian map + Adam moments, G-ICP target, keyframe
+store, pose history — lives in device memory, per-frame work is a handful
+of jitted functions, and the keyframe protocol becomes plain control flow:
+
+  per frame:
+    downsample/unproject ........ jit  (mp_Tracker.py:415-431)
+    source covariances + G-ICP .. jit  (mp_Tracker.py:191-199)
+    keyframe decision ........... host scalars (mp_Tracker.py:235-249)
+    insert gaussians ............ jit  (gaussian_model.py:134,165)
+    trackable export → target ... jit  (covariance sharing,
+                                        mp_Tracker.py:286-288)
+    K x map optimization steps .. jit  (mp_Mapper.py:196-248)
+
+The mapper's "as fast as possible" free-running loop becomes a fixed
+`mapping_iters_per_frame` budget per frame (the reference implicitly gets
+~a few iterations per frame at 30 FPS on its hardware).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SLAMConfig
+from ..datasets.base import RGBDSequence
+from ..eval.ate import ate_rmse
+from ..models import (AdamState, GaussianMap, adam_init, add_gaussians,
+                      adam_step, compact, empty_map, map_lr_tree, map_params,
+                      prune_large_and_transparent, trackable_export,
+                      with_params)
+from ..ops.gicp import (GICPTarget, gicp_align, make_source,
+                        source_correspondences, target_from_gaussians,
+                        target_from_points)
+from ..ops.rasterize import rasterize_tiled
+from ..utils.losses import mapping_loss, psnr
+from ..utils.pointcloud import downsample_pointcloud, make_downsample_filter
+from ..utils.quat import quat_multiply, rotmat_to_quat
+from ..utils.se3 import invert_se3, transform_points
+
+
+@dataclass
+class SLAMResult:
+    poses: np.ndarray            # (N, 4, 4) estimated c2w
+    gt_poses: Optional[np.ndarray]
+    ate_rmse: Optional[float]    # meters
+    fps: float
+    num_gaussians: int
+    psnr: Optional[float] = None
+    per_frame_psnr: Optional[np.ndarray] = None
+
+
+class SLAMEngine:
+    def __init__(self, dataset: RGBDSequence, cfg: SLAMConfig,
+                 seed: int = 0):
+        self.dataset = dataset
+        self.cfg = cfg
+        intr = cfg.intr
+        self.filt = make_downsample_filter(
+            intr.width, intr.height, intr.fx, intr.fy, intr.cx, intr.cy,
+            cfg.downsample_rate)
+        self.rng = np.random.default_rng(seed)
+
+        # --- persistent device state ---
+        self.gmap: GaussianMap = empty_map(cfg.map.capacity,
+                                           cfg.map.sh_degree)
+        self.adam: AdamState = adam_init(map_params(self.gmap))
+        self.lrs = map_lr_tree(cfg.opt)
+        self.target: Optional[GICPTarget] = None
+
+        kf_cap = max(8, cfg.engine.keyframe_capacity)
+        self.kf_w2c = np.zeros((kf_cap, 4, 4), np.float32)
+        self.kf_rgb = np.zeros((kf_cap, intr.height, intr.width, 3), np.uint8)
+        self.kf_depth = np.zeros((kf_cap, intr.height, intr.width),
+                                 np.float32)
+        self.kf_count = 0
+        self.new_keyframes: List[int] = []
+
+        self.poses: List[np.ndarray] = []
+        self.from_last_kf = 0
+        self.train_iter = 0
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    def _build_jits(self):
+        cfg = self.cfg
+        intr = cfg.intr
+        gicp_cfg = cfg.gicp
+        flat_idxs = jnp.asarray(self.filt.flat_idxs)
+        x_pre = jnp.asarray(self.filt.x_pre)
+        y_pre = jnp.asarray(self.filt.y_pre)
+
+        @jax.jit
+        def preprocess(depth, rgb):
+            z = depth.reshape(-1)[flat_idxs].astype(jnp.float32) / intr.depth_scale
+            colors = rgb.reshape(-1, 3)[flat_idxs].astype(jnp.float32) / 255.0
+            x = x_pre * z
+            y = y_pre * z
+            points = jnp.stack([x, y, z], axis=-1)
+            valid = z != 0.0
+            trackable = valid & (z <= intr.depth_trunc)
+            return points, colors, z, valid, trackable
+
+        self._preprocess = preprocess
+
+        @jax.jit
+        def build_source(points, valid, trackable):
+            return make_source(points, valid, gicp_cfg, trackable=trackable)
+
+        self._build_source = build_source
+
+        @jax.jit
+        def first_target(points_world, trackable):
+            return target_from_points(points_world, trackable, gicp_cfg)
+
+        self._first_target = first_target
+
+        def align(source, target, init_pose):
+            return gicp_align(source, target, init_pose, gicp_cfg)
+
+        self._align = align
+
+        @jax.jit
+        def frame_post(T, source, target):
+            """World points, world-rotated covariance quats, overlap stats."""
+            pts_w = transform_points(T, source.points)
+            idx, sqd = source_correspondences(T, source.points, target)
+            n_track = jnp.sum(source.valid)
+            overlap = jnp.sum(source.valid & (sqd < cfg.kf.overlapped_th))
+            ratio = overlap / jnp.maximum(n_track, 1)
+            pose_q = rotmat_to_quat(T[:3, :3])
+            rots_w = quat_multiply(pose_q[None, :], source.quat)
+            return pts_w, rots_w, sqd, ratio
+
+        self._frame_post = frame_post
+
+        @jax.jit
+        def insert(gmap, pts_w, colors, rots_w, scales, z, trackable, valid):
+            return add_gaussians(gmap, pts_w, colors, rots_w, scales, z,
+                                 trackable, valid,
+                                 init_opacity=cfg.map.init_opacity)
+
+        self._insert = insert
+
+        out_cap = cfg.engine.target_capacity
+
+        @jax.jit
+        def export_target(gmap):
+            pts, rots, scales, valid = trackable_export(
+                gmap, cfg.map.trackable_opacity_th, out_cap)
+            return target_from_gaussians(pts, rots, scales, valid, gicp_cfg)
+
+        self._export_target = export_target
+
+        rcfg = cfg.render
+        bg = jnp.asarray(rcfg.bg_color, jnp.float32)
+        raster = partial(
+            rasterize_tiled,
+            sh_degree=cfg.map.sh_degree, width=intr.width,
+            height=intr.height, tile=rcfg.tile_size,
+            visible_cap=rcfg.visible_capacity, tile_span=rcfg.tile_span,
+            tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk)
+        fx, fy = intr.fx, intr.fy
+        # rendering uses GL-convention principal point for reference parity
+        # (SURVEY §2.15: the GL projection has no cx/cy offset)
+        rcx, rcy = (intr.width - 1) / 2.0, (intr.height - 1) / 2.0
+
+        def _params_sh(params):
+            return jnp.concatenate(
+                [params["f_dc"][:, None, :], params["f_rest"]], axis=1)
+
+        @jax.jit
+        def opt_step(params, adam, live, w2c, rgb_u8, depth_raw):
+            gt_img = rgb_u8.astype(jnp.float32).transpose(2, 0, 1) / 255.0
+            gt_depth = depth_raw / intr.depth_scale
+
+            def loss_fn(p):
+                out = raster(p["xyz"], p["rotation"],
+                             jnp.exp(p["log_scaling"]),
+                             jax.nn.sigmoid(p["opacity_logit"][:, 0]),
+                             _params_sh(p), w2c, live, bg, fx, fy, rcx, rcy)
+                loss, aux = mapping_loss(
+                    out.color, out.depth, gt_img, gt_depth,
+                    lambda_dssim=cfg.opt.lambda_dssim,
+                    depth_weight=cfg.opt.depth_loss_weight,
+                    d_max=cfg.opt.depth_d_max)
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            params, adam = adam_step(params, grads, adam, self.lrs, live,
+                                     b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2,
+                                     eps=cfg.opt.adam_eps)
+            return params, adam, loss
+
+        self._opt_step = opt_step
+
+        @jax.jit
+        def prune(gmap):
+            return prune_large_and_transparent(
+                gmap, cfg.map.prune_min_opacity, cfg.map.prune_extent)
+
+        self._prune = prune
+
+        @jax.jit
+        def render_eval(params, live, w2c, rgb_u8, depth_raw):
+            gt_img = rgb_u8.astype(jnp.float32).transpose(2, 0, 1) / 255.0
+            gt_depth = depth_raw / intr.depth_scale
+            out = raster(params["xyz"], params["rotation"],
+                         jnp.exp(params["log_scaling"]),
+                         jax.nn.sigmoid(params["opacity_logit"][:, 0]),
+                         _params_sh(params), w2c, live, bg, fx, fy, rcx, rcy)
+            mask = (gt_depth > 0.0)[None]
+            mse = jnp.sum(((out.color - gt_img) * mask) ** 2) / jnp.maximum(
+                jnp.sum(mask) * 3.0, 1.0)
+            return out.color, -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+        self._render_eval = render_eval
+
+    # ------------------------------------------------------------------
+    def _store_keyframe(self, frame, w2c: np.ndarray):
+        if self.kf_count >= self.kf_w2c.shape[0]:
+            return  # keyframe store saturated; training continues on old set
+        i = self.kf_count
+        self.kf_w2c[i] = w2c
+        self.kf_rgb[i] = frame.rgb
+        self.kf_depth[i] = frame.depth
+        self.kf_count += 1
+        self.new_keyframes.append(i)
+
+    def _mapping_iterations(self, n_iters: int):
+        params = map_params(self.gmap)
+        for _ in range(n_iters):
+            if self.kf_count == 0:
+                return
+            if self.new_keyframes:
+                i = self.new_keyframes.pop(0)
+            else:
+                i = int(self.rng.integers(self.kf_count))
+            self.train_iter += 1
+            if self.train_iter % self.cfg.map.prune_interval == 0:
+                self.gmap = with_params(self.gmap, params)
+                self.gmap = self._prune(self.gmap)
+            params, self.adam, _ = self._opt_step(
+                params, self.adam, self.gmap.live,
+                jnp.asarray(self.kf_w2c[i]), jnp.asarray(self.kf_rgb[i]),
+                jnp.asarray(self.kf_depth[i]))
+        self.gmap = with_params(self.gmap, params)
+
+    # ------------------------------------------------------------------
+    def step(self, idx: int, frame) -> None:
+        cfg = self.cfg
+        depth = jnp.asarray(frame.depth)
+        rgb = jnp.asarray(frame.rgb)
+        points, colors, z, valid, trackable = self._preprocess(depth, rgb)
+
+        if idx == 0:
+            pose0 = np.asarray(
+                frame.gt_c2w if frame.gt_c2w is not None else np.eye(4),
+                np.float32)
+            self.poses.append(pose0)
+            pts_w = transform_points(jnp.asarray(pose0), points)
+            target, quat, scales = self._first_target(pts_w, trackable)
+            self.target = target
+            self.gmap = self._insert(self.gmap, pts_w, colors, quat, scales,
+                                     z, trackable, valid)
+            self._store_keyframe(frame, np.asarray(invert_se3(
+                jnp.asarray(pose0))))
+            self.from_last_kf = 0
+            self._mapping_iterations(cfg.engine.mapping_iters_per_frame)
+            return
+
+        source = self._build_source(points, valid, trackable)
+        init_T = jnp.asarray(self.poses[-1], jnp.float32)
+        T, _ = self._align(source, self.target, init_T)
+        pts_w, rots_w, sqd, ratio = self._frame_post(T, source, self.target)
+        T_np = np.asarray(T, np.float64)
+        self.poses.append(T_np)
+
+        last = idx >= len(self.dataset) - 1
+        if last or float(ratio) < cfg.kf.keyframe_th:
+            tracking_kf, self.from_last_kf = True, 0
+        else:
+            tracking_kf = False
+            self.from_last_kf += 1
+        mapping_kf = (not tracking_kf
+                      and self.from_last_kf % cfg.kf.keyframe_freq == 0)
+
+        if tracking_kf or mapping_kf:
+            if tracking_kf:
+                # overlap dedup applies to the trackable mask only — ALL
+                # points still become gaussians (mp_Tracker.py:266-275)
+                new_trackable = trackable & (sqd > cfg.kf.overlapped_th2)
+            else:
+                new_trackable = trackable
+            self.gmap = self._insert(self.gmap, pts_w, colors, rots_w,
+                                     source.scales, z, new_trackable, valid)
+            w2c = np.asarray(invert_se3(T), np.float32)
+            self._store_keyframe(frame, w2c)
+            if tracking_kf:
+                # covariance sharing, map -> tracker (mp_Tracker.py:286-288)
+                self.target = self._export_target(self.gmap)
+
+        self._mapping_iterations(cfg.engine.mapping_iters_per_frame)
+
+    # ------------------------------------------------------------------
+    def run(self, eval_render: bool = True, eval_stride: int = 1,
+            progress: bool = False) -> SLAMResult:
+        n = len(self.dataset)
+        t0 = time.time()
+        for i in range(n):
+            self.step(i, self.dataset[i])
+            if progress and i % 50 == 0:
+                print(f"frame {i}/{n}  gaussians={int(self.gmap.num_live)}")
+        # make sure all device work is done before timing
+        jax.block_until_ready(self.gmap.xyz)
+        elapsed = time.time() - t0
+        fps = n / elapsed
+
+        final_iters = self.cfg.engine.mapping_iters_final
+        if final_iters:
+            self._mapping_iterations(final_iters)
+
+        poses = np.stack(self.poses)
+        gt = None
+        ate = None
+        try:
+            gt = self.dataset.gt_poses
+            ate = ate_rmse(gt, poses)
+        except Exception:
+            pass
+
+        psnr_mean = None
+        per_frame = None
+        if eval_render:
+            params = map_params(self.gmap)
+            vals = []
+            for i in range(0, n, eval_stride):
+                fr = self.dataset[i]
+                w2c = np.asarray(invert_se3(jnp.asarray(poses[i],
+                                                        jnp.float32)))
+                _, p = self._render_eval(params, self.gmap.live,
+                                         jnp.asarray(w2c),
+                                         jnp.asarray(fr.rgb),
+                                         jnp.asarray(fr.depth))
+                vals.append(float(p))
+            per_frame = np.asarray(vals)
+            psnr_mean = float(per_frame.mean())
+
+        return SLAMResult(poses=poses, gt_poses=gt, ate_rmse=ate, fps=fps,
+                          num_gaussians=int(self.gmap.num_live),
+                          psnr=psnr_mean, per_frame_psnr=per_frame)
