@@ -1,0 +1,64 @@
+"""Benchmark: full SLAM system FPS at Replica-like load on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's throttled tracking rate of 30 FPS on Replica
+(mp_Tracker.py:323-324, BASELINE.md) — vs_baseline = fps / 30.
+
+The scene is the procedural synthetic sequence (no datasets in this
+environment) at Replica sensor geometry: 1200x680 RGB-D, downsample_rate
+10 (=> 8.3k tracked points/frame), full tracker + mapper loop with the
+per-frame mapping budget, identical to the engine test path.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+
+def main():
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from gs_icp_slam_tpu.config import synthetic_config
+    from gs_icp_slam_tpu.datasets import open_dataset
+    from gs_icp_slam_tpu.slam import SLAMEngine
+    from gs_icp_slam_tpu.utils.camera import Intrinsics
+
+    WARMUP = 6
+    TIMED = 30
+
+    width, height = 1200, 680
+    seq = open_dataset("synthetic", width=width, height=height,
+                       num_frames=WARMUP + TIMED)
+    cfg = synthetic_config(seq.intr, downsample_rate=10,
+                           capacity=1 << 18, target_capacity=1 << 16,
+                           visible_capacity=1 << 16)
+    cfg = cfg.replace(engine=dataclasses.replace(
+        cfg.engine, mapping_iters_per_frame=2))
+
+    eng = SLAMEngine(seq, cfg)
+    frames = [seq[i] for i in range(len(seq))]  # preload (reference does too)
+
+    for i in range(WARMUP):
+        eng.step(i, frames[i])
+    jax.block_until_ready(eng.gmap.xyz)
+
+    t0 = time.time()
+    for i in range(WARMUP, WARMUP + TIMED):
+        eng.step(i, frames[i])
+    jax.block_until_ready(eng.gmap.xyz)
+    elapsed = time.time() - t0
+    fps = TIMED / elapsed
+
+    print(json.dumps({
+        "metric": "slam_system_fps_replica_load_1chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
