@@ -21,10 +21,12 @@ def main():
     import jax
     import numpy as np
 
+    import jax.numpy as jnp
+
     from gs_icp_slam_tpu.config import synthetic_config
     from gs_icp_slam_tpu.datasets import open_dataset
-    from gs_icp_slam_tpu.slam import SLAMEngine
-    from gs_icp_slam_tpu.utils.camera import Intrinsics
+    from gs_icp_slam_tpu.slam import FusedEngine
+    from gs_icp_slam_tpu.slam.state import init_state
 
     WARMUP = 6
     TIMED = 30
@@ -38,17 +40,23 @@ def main():
     cfg = cfg.replace(engine=dataclasses.replace(
         cfg.engine, mapping_iters_per_frame=2))
 
-    eng = SLAMEngine(seq, cfg)
-    frames = [seq[i] for i in range(len(seq))]  # preload (reference does too)
+    eng = FusedEngine(seq, cfg)
+    n = WARMUP + TIMED
+    frames = [seq[i] for i in range(n)]  # preload (reference does too)
+    depths = [jnp.asarray(f.depth) for f in frames]
+    rgbs = [jnp.asarray(f.rgb) for f in frames]
+    pose0 = np.asarray(frames[0].gt_c2w, np.float32)
+    state = init_state(cfg, n, pose0)
 
     for i in range(WARMUP):
-        eng.step(i, frames[i])
-    jax.block_until_ready(eng.gmap.xyz)
+        state = eng.fused.step(state, depths[i], rgbs[i], jnp.bool_(False))
+    int(jax.device_get(state.frame_idx))  # real host sync
 
     t0 = time.time()
-    for i in range(WARMUP, WARMUP + TIMED):
-        eng.step(i, frames[i])
-    jax.block_until_ready(eng.gmap.xyz)
+    for i in range(WARMUP, n):
+        state = eng.fused.step(state, depths[i], rgbs[i],
+                               jnp.bool_(i == n - 1))
+    int(jax.device_get(state.frame_idx))
     elapsed = time.time() - t0
     fps = TIMED / elapsed
 

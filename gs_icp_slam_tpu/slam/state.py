@@ -1,0 +1,65 @@
+"""Device-resident SLAM state: everything the per-frame step touches.
+
+One pytree in HBM — gaussian map + Adam moments, G-ICP target, keyframe
+store (poses + full-resolution RGB-D), pose history, counters, PRNG key.
+The reference spreads this across two processes and shared-memory buffers
+(gs_icp_slam.py:81-109); collapsing it into one pytree is what lets the
+entire frame step run as a single XLA program with no host round trips
+(the remote-dispatch latency of one host pull costs more than the whole
+frame's compute).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import AdamState, GaussianMap, adam_init, empty_map, map_params
+from ..ops.gicp import GICPTarget
+
+
+class SLAMState(NamedTuple):
+    gmap: GaussianMap
+    adam: AdamState
+    target: GICPTarget           # fixed capacity (Tc)
+    poses: jnp.ndarray           # (F, 4, 4) c2w history
+    frame_idx: jnp.ndarray       # () int32 — frames processed so far
+    kf_w2c: jnp.ndarray          # (Kc, 4, 4)
+    kf_rgb: jnp.ndarray          # (Kc, H, W, 3) uint8
+    kf_depth: jnp.ndarray        # (Kc, H, W) float32 raw units
+    kf_count: jnp.ndarray        # () int32
+    new_kf: jnp.ndarray          # () int32 — pending new keyframe idx or -1
+    from_last_kf: jnp.ndarray    # () int32
+    train_iter: jnp.ndarray      # () int32
+    rng: jnp.ndarray             # PRNG key
+    last_ratio: jnp.ndarray      # () float32 — overlap ratio (diagnostics)
+
+
+def init_state(cfg, num_frames: int, pose0: np.ndarray,
+               seed: int = 0) -> SLAMState:
+    intr = cfg.intr
+    kc = cfg.engine.keyframe_capacity
+    tc = cfg.engine.target_capacity
+    gmap = empty_map(cfg.map.capacity, cfg.map.sh_degree)
+    poses = jnp.tile(jnp.asarray(pose0, jnp.float32)[None], (num_frames, 1, 1))
+    return SLAMState(
+        gmap=gmap,
+        adam=adam_init(map_params(gmap)),
+        target=GICPTarget(points=jnp.zeros((tc, 3), jnp.float32),
+                          cov=jnp.tile(jnp.eye(3, dtype=jnp.float32),
+                                       (tc, 1, 1)),
+                          valid=jnp.zeros((tc,), bool)),
+        poses=poses,
+        frame_idx=jnp.int32(0),
+        kf_w2c=jnp.zeros((kc, 4, 4), jnp.float32),
+        kf_rgb=jnp.zeros((kc, intr.height, intr.width, 3), jnp.uint8),
+        kf_depth=jnp.zeros((kc, intr.height, intr.width), jnp.float32),
+        kf_count=jnp.int32(0),
+        new_kf=jnp.int32(-1),
+        from_last_kf=jnp.int32(0),
+        train_iter=jnp.int32(0),
+        rng=jax.random.PRNGKey(seed),
+        last_ratio=jnp.float32(1.0),
+    )
