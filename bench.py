@@ -26,6 +26,7 @@ def main():
     from gs_icp_slam_tpu.config import synthetic_config
     from gs_icp_slam_tpu.datasets import open_dataset
     from gs_icp_slam_tpu.slam import FusedEngine
+    from gs_icp_slam_tpu.slam.fused import to_chw
     from gs_icp_slam_tpu.slam.state import init_state
 
     WARMUP = 6
@@ -44,7 +45,7 @@ def main():
     n = WARMUP + TIMED
     frames = [seq[i] for i in range(n)]  # preload (reference does too)
     depths = [jnp.asarray(f.depth) for f in frames]
-    rgbs = [jnp.asarray(f.rgb) for f in frames]
+    rgbs = [to_chw(f.rgb) for f in frames]
     pose0 = np.asarray(frames[0].gt_c2w, np.float32)
     state = init_state(cfg, n, pose0)
 

@@ -1,0 +1,202 @@
+"""Pallas TPU kernel for the per-tile alpha-compositing stage.
+
+This is the hot inner loop of the rasterizer (SURVEY §2.10: the CUDA
+kernel's per-tile front-to-back blend).  The pure-XLA version in
+rasterize.py materializes (P, K) intermediates through lax.map and pays
+HBM bandwidth for every cumprod pass; here the whole tile lives in VMEM:
+
+  * orientation (K, P): splats on sublanes, pixels on lanes — per-pixel
+    outputs fall out of sublane reductions as (1, P) rows, and per-splat
+    gradients fall out of lane reductions as (K, 1) columns, so the only
+    transposes are two tiny MXU identity-contractions of the (16, K)
+    attribute block.
+  * transmittance cumprod = exp(Hillis-Steele cumsum of log1p(-alpha))
+    via pltpu.roll — log2(K) VPU passes, no HBM traffic.
+  * custom VJP with full recompute: residual = packed attrs only; the
+    backward derives dL/dalpha with a suffix-sum (the CUDA kernel's
+    back-to-front accumulator, done as cumsum) and needs no atomics —
+    per-splat sums are lane reductions, and the scatter back to the
+    compacted splat array is JAX autodiff of the gather outside.
+
+Packed layouts (P = tile*tile pixels, K = per-tile splat capacity):
+  attrs (T, 16, K) f32, rows: 0 mx, 1 my, 2 conic_a, 3 conic_b,
+        4 conic_c, 5 r, 6 g, 7 b, 8 opacity, 9 depth (rest zero pad)
+  out   (T, 8, P) f32, rows: 0..2 rgb (no background), 3 depth,
+        4 final transmittance (rest zero)
+"""
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .projection import ALPHA_MAX, ALPHA_MIN, T_EPS
+
+_CONTRACT_00 = (((0,), (0,)), ((), ()))
+_CONTRACT_11 = (((1,), (1,)), ((), ()))
+_CONTRACT_STD = (((1,), (0,)), ((), ()))
+
+
+def _cumsum_sublanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative sum along axis 0 (sublanes), log2(n) passes."""
+    n = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    s = 1
+    while s < n:
+        x = x + jnp.where(row >= s, pltpu.roll(x, s, axis=0), 0.0)
+        s *= 2
+    return x
+
+
+def _identity(k: int) -> jnp.ndarray:
+    i = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (i == j).astype(jnp.float32)
+
+
+def _tile_geometry(attrs_ref, ntx: int, tile_px: int, P: int):
+    """Shared forward math: recomputed verbatim in the backward kernel."""
+    a = attrs_ref[0]                       # (16, K)
+    K = a.shape[1]
+    ident = _identity(K)
+    aT = jax.lax.dot_general(ident, a, _CONTRACT_11,
+                             preferred_element_type=jnp.float32)  # (K, 16)
+
+    t = pl.program_id(0)
+    tx = t % ntx
+    ty = t // ntx
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (tx * tile_px + pid % tile_px).astype(jnp.float32)   # (1, P)
+    py = (ty * tile_px + pid // tile_px).astype(jnp.float32)
+
+    mx, my = aT[:, 0:1], aT[:, 1:2]
+    ca, cb, cc = aT[:, 2:3], aT[:, 3:4], aT[:, 4:5]
+    opa = aT[:, 8:9]
+
+    dx = px - mx                                              # (K, P)
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    araw = opa * jnp.exp(power)
+    gate = (power <= 0.0) & (araw >= ALPHA_MIN)
+    alpha = jnp.where(gate, jnp.minimum(araw, ALPHA_MAX), 0.0)
+
+    logo = jnp.log1p(-alpha)
+    csum = _cumsum_sublanes(logo)
+    t_next = jnp.exp(csum)                                    # prod_{j<=k} o_j
+    t_before = jnp.exp(csum - logo)                           # prod_{j<k} o_j
+    inc = (t_next >= T_EPS).astype(jnp.float32)
+    w = alpha * t_before * inc
+    tf = jnp.min(jnp.where(t_next >= T_EPS, t_next, 1.0), axis=0,
+                 keepdims=True)                               # (1, P)
+    return (a, aT, ident, dx, dy, power, araw, gate, alpha, t_before, inc,
+            w, tf)
+
+
+def _fwd_kernel(attrs_ref, out_ref, *, ntx: int, tile_px: int, P: int):
+    (_, aT, _, _, _, _, _, _, _, _, _, w, tf) = _tile_geometry(
+        attrs_ref, ntx, tile_px, P)
+    r, g, b = aT[:, 5:6], aT[:, 6:7], aT[:, 7:8]
+    dep = aT[:, 9:10]
+    cr = jnp.sum(w * r, axis=0, keepdims=True)                # (1, P)
+    cg = jnp.sum(w * g, axis=0, keepdims=True)
+    cb_ = jnp.sum(w * b, axis=0, keepdims=True)
+    cd = jnp.sum(w * dep, axis=0, keepdims=True)
+    pad = jnp.zeros((3, P), jnp.float32)
+    out_ref[0] = jnp.concatenate([cr, cg, cb_, cd, tf, pad], axis=0)
+
+
+def _bwd_kernel(attrs_ref, g_ref, dattrs_ref, *, ntx: int, tile_px: int,
+                P: int):
+    (_, aT, ident, dx, dy, power, araw, gate, alpha, t_before, inc, w,
+     tf) = _tile_geometry(attrs_ref, ntx, tile_px, P)
+    K = alpha.shape[0]
+    gmat = g_ref[0]                                           # (8, P)
+    g4 = gmat[0:4, :]                                         # rgb + depth
+    gtf = gmat[4:5, :]                                        # (1, P)
+
+    # dL/dw_k(p) = g_rgb . rgb_k + g_depth depth_k  — one MXU contraction
+    a4 = jnp.concatenate([aT[:, 5:8], aT[:, 9:10]], axis=1)   # (K, 4)
+    dLdw = jax.lax.dot_general(a4, g4, _CONTRACT_STD,
+                               preferred_element_type=jnp.float32)  # (K, P)
+
+    # d t_before_j / d alpha_k = -t_before_j / o_k for k < j: suffix sum
+    c = w * dLdw
+    S = jnp.sum(c, axis=0, keepdims=True) - _cumsum_sublanes(c)
+    o = 1.0 - alpha
+    dalpha = inc * t_before * dLdw - (S + inc * (gtf * tf)) / o
+
+    m = (gate & (araw < ALPHA_MAX)).astype(jnp.float32)
+    dpow = dalpha * m * araw
+    ca, cb, cc = aT[:, 2:3], aT[:, 3:4], aT[:, 4:5]
+
+    def lsum(x):
+        return jnp.sum(x, axis=1, keepdims=True)              # (K, 1)
+
+    dmx = lsum(dpow * (ca * dx + cb * dy))
+    dmy = lsum(dpow * (cc * dy + cb * dx))
+    dca = lsum(dpow * (-0.5 * dx * dx))
+    dcb = lsum(dpow * (-dx * dy))
+    dcc = lsum(dpow * (-0.5 * dy * dy))
+    dr = lsum(w * gmat[0:1, :])
+    dg = lsum(w * gmat[1:2, :])
+    db = lsum(w * gmat[2:3, :])
+    dop = lsum(dalpha * m * jnp.exp(power))
+    ddep = lsum(w * gmat[3:4, :])
+
+    daT = jnp.concatenate(
+        [dmx, dmy, dca, dcb, dcc, dr, dg, db, dop, ddep,
+         jnp.zeros((K, 6), jnp.float32)], axis=1)             # (K, 16)
+    dattrs_ref[0] = jax.lax.dot_general(
+        daT, ident, _CONTRACT_00, preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def make_composite(T: int, ntx: int, tile_px: int, K: int,
+                   interpret: bool = False):
+    """Build the custom-VJP tile compositor for a fixed geometry.
+
+    Returns f(attrs (T,16,K)) -> (T,8,P) with P = tile_px**2.  K and P
+    must be multiples of the f32 tile (sublane 8 / lane 128 friendly:
+    use K, P in {128, 256, ...}).
+    """
+    P = tile_px * tile_px
+
+    fwd_call = pl.pallas_call(
+        partial(_fwd_kernel, ntx=ntx, tile_px=tile_px, P=P),
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, 16, K), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, P), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
+        interpret=interpret,
+    )
+    bwd_call = pl.pallas_call(
+        partial(_bwd_kernel, ntx=ntx, tile_px=tile_px, P=P),
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, 16, K), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, P), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 16, K), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, 16, K), jnp.float32),
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def composite(attrs):
+        return fwd_call(attrs)
+
+    def composite_fwd(attrs):
+        return fwd_call(attrs), attrs
+
+    def composite_bwd(attrs, g):
+        return (bwd_call(attrs, g),)
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite

@@ -61,30 +61,38 @@ def _ranks_in_segments(seg_ids: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=(
     "sh_degree", "width", "height", "tile", "visible_cap", "tile_span",
-    "tile_cap", "chunk"))
+    "tile_cap", "chunk", "use_pallas"))
 def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
                     fx, fy, cx, cy, *, sh_degree: int, width: int,
                     height: int, tile: int = 16, visible_cap: int = 65536,
                     tile_span: int = 3, tile_cap: int = 256,
-                    chunk: int = 64) -> RasterOut:
+                    chunk: int = 64, use_pallas=None) -> RasterOut:
     """Render one view.  See module docstring for the static-shape contract.
 
     Args mirror project_gaussians; bg is the (3,) background color.
+    use_pallas: None = auto (Pallas compositor on TPU, pure-XLA elsewhere).
     """
     ntx = -(-width // tile)
     nty = -(-height // tile)
     T = ntx * nty
-    V = min(visible_cap, xyz.shape[0])
+    N = xyz.shape[0]
+    V = min(visible_cap, N)
     D = tile_span
     K = tile_cap
 
     splats = project_gaussians(xyz, quat, scale, opacity, sh, sh_degree,
                                w2c, fx, fy, cx, cy, width, height, live)
 
-    # ---- compact the front-most V visible splats --------------------------
-    sort_key = jnp.where(splats.visible, splats.depth, jnp.inf)
-    vis_order = jnp.argsort(sort_key).astype(jnp.int32)[:V]
-    vcount = jnp.sum(splats.visible.astype(jnp.int32))
+    # ---- compact up to V visible splats -----------------------------------
+    # Order-free cumsum compaction (no O(N log N) sort: within-tile depth
+    # ordering happens at the pair sort below).  On overflow the lowest-
+    # index V visibles survive rather than the front-most — quality-only.
+    vis = splats.visible
+    vcount = jnp.sum(vis.astype(jnp.int32))
+    pos = jnp.cumsum(vis.astype(jnp.int32)) - 1
+    slot = jnp.where(vis & (pos < V), pos, V)
+    vis_order = jnp.zeros((V,), jnp.int32).at[slot].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop")
     vslot = jnp.arange(V, dtype=jnp.int32)
     vok = vslot < jnp.minimum(vcount, V)
 
@@ -135,7 +143,30 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
     opa_p = pad(jnp.where(vok, opa, 0.0))
     depth_p = pad(depth)
 
-    # ---- composite, one D-free dense block per tile -----------------------
+    # ---- composite --------------------------------------------------------
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    P = tile * tile
+    if use_pallas and K % 128 == 0 and P % 128 == 0:
+        from .composite_pallas import make_composite
+
+        attr_mat = jnp.stack([
+            mean2d_p[:, 0], mean2d_p[:, 1], conic_p[:, 0], conic_p[:, 1],
+            conic_p[:, 2], rgb_p[:, 0], rgb_p[:, 1], rgb_p[:, 2], opa_p,
+            depth_p], axis=0)                       # (10, V+1)
+        attrs = jnp.moveaxis(attr_mat[:, tile_list], 0, 1)  # (T, 10, K)
+        attrs = jnp.pad(attrs, ((0, 0), (0, 6), (0, 0)))
+        comp = make_composite(T, ntx, tile, K,
+                              interpret=jax.default_backend() != "tpu")
+        out8 = comp(attrs)                          # (T, 8, P)
+        tfin_px = out8[:, 4]                        # (T, P)
+        color_px = out8[:, 0:3] + tfin_px[:, None, :] * bg[None, :, None]
+        color_t = jnp.moveaxis(color_px, 1, 2).reshape(T, tile, tile, 3)
+        depth_t = out8[:, 3].reshape(T, tile, tile)
+        tfin_t = tfin_px.reshape(T, tile, tile)
+        return _assemble(color_t, depth_t, tfin_t, splats, vis_order, used_v,
+                         vok, ntx, nty, tile, height, width, N)
+
     tile_ids = jnp.arange(T, dtype=jnp.int32)
     px_in = jnp.arange(tile, dtype=jnp.float32)
     pgx, pgy = jnp.meshgrid(px_in, px_in, indexing="xy")  # (tile, tile)
@@ -184,7 +215,12 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
     color_t = color_t.reshape(T + pad_t, tile, tile, 3)[:T]
     depth_t = depth_t.reshape(T + pad_t, tile, tile)[:T]
     tfin_t = tfin_t.reshape(T + pad_t, tile, tile)[:T]
+    return _assemble(color_t, depth_t, tfin_t, splats, vis_order, used_v,
+                     vok, ntx, nty, tile, height, width, N)
 
+
+def _assemble(color_t, depth_t, tfin_t, splats, vis_order, used_v, vok,
+              ntx, nty, tile, height, width, N):
     def untile(x):
         extra = x.shape[3:]
         x = x.reshape(nty, ntx, tile, tile, *extra)
@@ -195,7 +231,9 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
     depth_img = untile(depth_t)
     t_final = untile(tfin_t)
 
-    is_used = jnp.zeros((xyz.shape[0],), bool).at[vis_order].set(
-        used_v, mode="drop")
+    # overflow slots all alias index 0 after cumsum compaction — route
+    # them out of bounds so they can't clobber splat 0's flag
+    is_used = jnp.zeros((N,), bool).at[
+        jnp.where(vok, vis_order, N)].set(used_v, mode="drop")
     return RasterOut(color=color, depth=depth_img, radii=splats.radius,
                      is_used=is_used, t_final=t_final)

@@ -57,7 +57,7 @@ def shard_map_state(mesh: Mesh, params: dict, adam: AdamState,
 
 
 class ParallelMappingStep(NamedTuple):
-    step: Callable  # (params, adam, live, w2c_b, rgb_b, depth_b) -> ...
+    step: Callable  # (params, adam, live, w2c_b, rgb_b (B,3,H,W), depth_b)
     mesh: Mesh
     batch: int      # keyframes consumed per call (= mesh size)
 
@@ -73,11 +73,16 @@ def make_parallel_opt_step(mesh: Mesh, cfg: SLAMConfig,
     rcx, rcy = (intr.width - 1) / 2.0, (intr.height - 1) / 2.0
     n_dev = mesh.devices.size
 
+    # the auto (None) pallas switch keys off the DEFAULT backend; this
+    # step runs on the mesh's devices, which may be a CPU test mesh even
+    # when a TPU backend is registered — decide from the mesh instead
+    mesh_is_tpu = mesh.devices.flat[0].platform == "tpu"
     raster = partial(
         rasterize_tiled, sh_degree=cfg.map.sh_degree, width=intr.width,
         height=intr.height, tile=rcfg.tile_size,
         visible_cap=rcfg.visible_capacity, tile_span=rcfg.tile_span,
-        tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk)
+        tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk,
+        use_pallas=mesh_is_tpu)
 
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
@@ -98,7 +103,8 @@ def make_parallel_opt_step(mesh: Mesh, cfg: SLAMConfig,
              donate_argnums=(0, 1))
     def step(params, adam, live, w2c_b, rgb_b, depth_b):
         def render_loss(p, w2c, rgb_u8, depth_raw):
-            gt_img = rgb_u8.astype(jnp.float32).transpose(2, 0, 1) / 255.0
+            # rgb_u8 is channel-first (3, H, W): TPU lane-padding rule
+            gt_img = rgb_u8.astype(jnp.float32) / 255.0
             gt_depth = depth_raw / intr.depth_scale
             out = raster(p["xyz"], p["rotation"], jnp.exp(p["log_scaling"]),
                          jax.nn.sigmoid(p["opacity_logit"][:, 0]),

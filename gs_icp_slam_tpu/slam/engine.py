@@ -79,7 +79,7 @@ class SLAMEngine:
 
         kf_cap = max(8, cfg.engine.keyframe_capacity)
         self.kf_w2c = np.zeros((kf_cap, 4, 4), np.float32)
-        self.kf_rgb = np.zeros((kf_cap, intr.height, intr.width, 3), np.uint8)
+        self.kf_rgb = np.zeros((kf_cap, 3, intr.height, intr.width), np.uint8)
         self.kf_depth = np.zeros((kf_cap, intr.height, intr.width),
                                  np.float32)
         self.kf_count = 0
@@ -101,8 +101,10 @@ class SLAMEngine:
 
         @jax.jit
         def preprocess(depth, rgb):
+            # rgb is channel-first (3, H, W) uint8 (see fused.to_chw)
             z = depth.reshape(-1)[flat_idxs].astype(jnp.float32) / intr.depth_scale
-            colors = rgb.reshape(-1, 3)[flat_idxs].astype(jnp.float32) / 255.0
+            colors = (rgb.reshape(3, -1)[:, flat_idxs].T
+                      .astype(jnp.float32) / 255.0)
             x = x_pre * z
             y = y_pre * z
             points = jnp.stack([x, y, z], axis=-1)
@@ -180,7 +182,7 @@ class SLAMEngine:
 
         @jax.jit
         def opt_step(params, adam, live, w2c, rgb_u8, depth_raw):
-            gt_img = rgb_u8.astype(jnp.float32).transpose(2, 0, 1) / 255.0
+            gt_img = rgb_u8.astype(jnp.float32) / 255.0  # (3, H, W) input
             gt_depth = depth_raw / intr.depth_scale
 
             def loss_fn(p):
@@ -212,7 +214,7 @@ class SLAMEngine:
 
         @jax.jit
         def render_eval(params, live, w2c, rgb_u8, depth_raw):
-            gt_img = rgb_u8.astype(jnp.float32).transpose(2, 0, 1) / 255.0
+            gt_img = rgb_u8.astype(jnp.float32) / 255.0  # (3, H, W) input
             gt_depth = depth_raw / intr.depth_scale
             out = raster(params["xyz"], params["rotation"],
                          jnp.exp(params["log_scaling"]),
@@ -231,7 +233,7 @@ class SLAMEngine:
             return  # keyframe store saturated; training continues on old set
         i = self.kf_count
         self.kf_w2c[i] = w2c
-        self.kf_rgb[i] = frame.rgb
+        self.kf_rgb[i] = frame.rgb.transpose(2, 0, 1)
         self.kf_depth[i] = frame.depth
         self.kf_count += 1
         self.new_keyframes.append(i)
@@ -258,8 +260,9 @@ class SLAMEngine:
     # ------------------------------------------------------------------
     def step(self, idx: int, frame) -> None:
         cfg = self.cfg
+        from .fused import to_chw
         depth = jnp.asarray(frame.depth)
-        rgb = jnp.asarray(frame.rgb)
+        rgb = to_chw(frame.rgb)
         points, colors, z, valid, trackable = self._preprocess(depth, rgb)
 
         if idx == 0:
@@ -347,9 +350,10 @@ class SLAMEngine:
                 fr = self.dataset[i]
                 w2c = np.asarray(invert_se3(jnp.asarray(poses[i],
                                                         jnp.float32)))
+                from .fused import to_chw
                 _, p = self._render_eval(params, self.gmap.live,
                                          jnp.asarray(w2c),
-                                         jnp.asarray(fr.rgb),
+                                         to_chw(fr.rgb),
                                          jnp.asarray(fr.depth))
                 vals.append(float(p))
             per_frame = np.asarray(vals)

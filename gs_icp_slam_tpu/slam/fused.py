@@ -37,12 +37,22 @@ from ..utils.se3 import invert_se3, transform_points
 
 
 class FusedStep(NamedTuple):
-    step: Callable        # (state, depth, rgb, is_last) -> state
-    render_eval: Callable  # (params, live, w2c, rgb, depth) -> (img, psnr)
+    step: Callable        # (state, depth, rgb_chw, is_last) -> state
+    render_eval: Callable  # (params, live, w2c, rgb_chw, depth) -> (img, psnr)
     refine: Callable      # (state,) -> state: REFINE_CHUNK mapping iters
 
 
 REFINE_CHUNK = 16  # post-run refinement iterations per jit call
+
+
+def to_chw(rgb_hwc) -> "jnp.ndarray":
+    """Host-side (H, W, 3) uint8 -> device channel-first (3, H, W).
+
+    All jit boundaries take channel-first images: a trailing dim of 3
+    would be padded to the 128-lane TPU tile, inflating HBM 42x."""
+    import numpy as np
+    return jnp.asarray(np.ascontiguousarray(
+        np.asarray(rgb_hwc).transpose(2, 0, 1)))
 
 
 def _pad_target(target: GICPTarget, capacity: int) -> GICPTarget:
@@ -88,7 +98,8 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
 
     # ---------------- mapping ----------------
     def opt_step(params, adam, live, w2c, rgb_u8, depth_raw):
-        gt_img = rgb_u8.astype(jnp.float32).transpose(2, 0, 1) / 255.0
+        # rgb_u8 is channel-first (3, H, W): see SLAMState.kf_rgb
+        gt_img = rgb_u8.astype(jnp.float32) / 255.0
         gt_depth = depth_raw / intr.depth_scale
 
         def loss_fn(p):
@@ -161,9 +172,10 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
 
     # ---------------- the fused frame step ----------------
     def step(state, depth_raw, rgb_u8, is_last):
-        # preprocess (mp_Tracker.py:415-431)
+        # preprocess (mp_Tracker.py:415-431); rgb_u8 is (3, H, W)
         z = depth_raw.reshape(-1)[flat_idxs].astype(jnp.float32) / intr.depth_scale
-        colors = rgb_u8.reshape(-1, 3)[flat_idxs].astype(jnp.float32) / 255.0
+        colors = (rgb_u8.reshape(3, -1)[:, flat_idxs].T
+                  .astype(jnp.float32) / 255.0)
         points = jnp.stack([x_pre * z, y_pre * z, z], axis=-1)
         valid = z != 0.0
         trackable = valid & (z <= intr.depth_trunc)
@@ -246,7 +258,7 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
 
     @jax.jit
     def render_eval(params, live, w2c, rgb_u8, depth_raw):
-        gt_img = rgb_u8.astype(jnp.float32).transpose(2, 0, 1) / 255.0
+        gt_img = rgb_u8.astype(jnp.float32) / 255.0  # (3, H, W) input
         gt_depth = depth_raw / intr.depth_scale
         out = raster(params["xyz"], params["rotation"],
                      jnp.exp(params["log_scaling"]),
@@ -304,7 +316,7 @@ class FusedEngine:
         for i in range(n):
             fr = dataset[i]
             state = self.fused.step(state, jnp.asarray(fr.depth),
-                                    jnp.asarray(fr.rgb),
+                                    to_chw(fr.rgb),
                                     jnp.bool_(i == n - 1))
             if progress and i % 50 == 0:
                 print(f"frame {i}/{n}")
@@ -336,7 +348,7 @@ class FusedEngine:
                 fr = dataset[i]
                 w2c = invert_se3(jnp.asarray(poses[i], jnp.float32))
                 _, p = self.fused.render_eval(params, state.gmap.live, w2c,
-                                              jnp.asarray(fr.rgb),
+                                              to_chw(fr.rgb),
                                               jnp.asarray(fr.depth))
                 vals.append(float(p))
             per_frame = np.asarray(vals)

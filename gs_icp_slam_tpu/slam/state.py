@@ -27,7 +27,9 @@ class SLAMState(NamedTuple):
     poses: jnp.ndarray           # (F, 4, 4) c2w history
     frame_idx: jnp.ndarray       # () int32 — frames processed so far
     kf_w2c: jnp.ndarray          # (Kc, 4, 4)
-    kf_rgb: jnp.ndarray          # (Kc, H, W, 3) uint8
+    kf_rgb: jnp.ndarray          # (Kc, 3, H, W) uint8 — channel-first:
+                                 # a trailing dim of 3 would be padded to
+                                 # the 128-lane TPU tile (42x HBM blowup)
     kf_depth: jnp.ndarray        # (Kc, H, W) float32 raw units
     kf_count: jnp.ndarray        # () int32
     new_kf: jnp.ndarray          # () int32 — pending new keyframe idx or -1
@@ -54,7 +56,7 @@ def init_state(cfg, num_frames: int, pose0: np.ndarray,
         poses=poses,
         frame_idx=jnp.int32(0),
         kf_w2c=jnp.zeros((kc, 4, 4), jnp.float32),
-        kf_rgb=jnp.zeros((kc, intr.height, intr.width, 3), jnp.uint8),
+        kf_rgb=jnp.zeros((kc, 3, intr.height, intr.width), jnp.uint8),
         kf_depth=jnp.zeros((kc, intr.height, intr.width), jnp.float32),
         kf_count=jnp.int32(0),
         new_kf=jnp.int32(-1),

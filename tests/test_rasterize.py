@@ -1,6 +1,8 @@
 """Rasterizer: dense-reference vs tiled-production agreement, gradients,
 and the CUDA kernel semantics (alpha clamp, T_EPS early stop, depth channel,
 radii/is_used contract of the fork, gaussian_renderer/__init__.py:86-94)."""
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -175,6 +177,44 @@ def test_visible_cap_keeps_front():
     cy, cxp = H // 2, W // 2
     np.testing.assert_allclose(np.asarray(capped.color[:, cy, cxp]),
                                np.asarray(full.color[:, cy, cxp]), atol=1e-3)
+
+
+def test_pallas_compositor_matches_xla():
+    """Pallas tile compositor (interpret mode on CPU) vs the pure-XLA path."""
+    scene = _scene(96, seed=7)
+    ref = _tiled(*scene, use_pallas=False)
+    out = _tiled(*scene, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.t_final),
+                               np.asarray(ref.t_final), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(out.is_used),
+                                  np.asarray(ref.is_used))
+
+
+def test_pallas_compositor_gradients_match():
+    scene = _scene(48, seed=8)
+    xyz, quat, scale, opacity, sh, live = scene
+    target = jnp.ones((3, H, W)) * 0.5
+
+    def loss(xyz, scale, opacity, sh, use_pallas):
+        out = _tiled(xyz, quat, scale, opacity, sh, live,
+                     use_pallas=use_pallas)
+        return (jnp.mean((out.color - target) ** 2)
+                + 0.1 * jnp.mean(out.depth) + 0.01 * jnp.mean(out.t_final))
+
+    gx = jax.grad(partial(loss, use_pallas=False),
+                  argnums=(0, 1, 2, 3))(xyz, scale, opacity, sh)
+    gp = jax.grad(partial(loss, use_pallas=True),
+                  argnums=(0, 1, 2, 3))(xyz, scale, opacity, sh)
+    for a, b, name in zip(gx, gp, ["xyz", "scale", "opacity", "sh"]):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all(), name
+        scale_ref = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale_ref, a / scale_ref, atol=1e-3,
+                                   err_msg=name)
 
 
 def test_covariance_3d():
