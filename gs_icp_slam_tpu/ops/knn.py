@@ -26,19 +26,27 @@ def _sq_norms(x):
     return jnp.sum(x * x, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("chunk",))
+@partial(jax.jit, static_argnames=("chunk", "use_pallas"))
 def nn_search(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
-              chunk: int = 4096):
+              chunk: int = 4096, use_pallas=None):
     """1-NN of each query point in the valid subset of ref.
 
     Args:
       query: (Q, 3) float32.
       ref: (R, 3) float32, R a multiple of `chunk` is not required.
       ref_valid: (R,) bool — invalid slots never match.
+      use_pallas: None = auto (VMEM-resident Pallas kernel on TPU; the
+        XLA scan fallback elsewhere — it materializes (Q, chunk) blocks
+        in HBM and measured 20x slower at tracking geometry).
     Returns:
       idx: (Q,) int32 index into ref (garbage if no valid ref at all).
       sqdist: (Q,) float32 squared distance (_BIG where no valid match).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .nn_pallas import nn_search_pallas
+        return nn_search_pallas(query, ref, ref_valid)
     Q = query.shape[0]
     R = ref.shape[0]
     pad = (-R) % chunk

@@ -100,7 +100,8 @@ def rasterize_dense(xyz, quat, scale, opacity, sh, sh_degree: int,
                                w2c, fx, fy, cx, cy, width, height, live)
     ntx = -(-width // tile)
     nty = -(-height // tile)
-    rects = tile_rect(splats.mean2d, splats.radius.astype(jnp.float32),
+    rects = tile_rect(splats.mean2d[:, 0], splats.mean2d[:, 1],
+                      splats.radius.astype(jnp.float32),
                       ntx, nty, tile, tile_span)
     # front-to-back: invisible splats to the back via +inf depth
     key = jnp.where(splats.visible, splats.depth, jnp.inf)

@@ -81,7 +81,7 @@ def make_parallel_opt_step(mesh: Mesh, cfg: SLAMConfig,
         rasterize_tiled, sh_degree=cfg.map.sh_degree, width=intr.width,
         height=intr.height, tile=rcfg.tile_size,
         visible_cap=rcfg.visible_capacity, tile_span=rcfg.tile_span,
-        tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk,
+        tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk, want_used=False,
         use_pallas=mesh_is_tpu)
 
     shard = NamedSharding(mesh, P(axis))

@@ -170,7 +170,7 @@ class SLAMEngine:
             sh_degree=cfg.map.sh_degree, width=intr.width,
             height=intr.height, tile=rcfg.tile_size,
             visible_cap=rcfg.visible_capacity, tile_span=rcfg.tile_span,
-            tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk)
+            tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk, want_used=False)
         fx, fy = intr.fx, intr.fy
         # rendering uses GL-convention principal point for reference parity
         # (SURVEY §2.15: the GL projection has no cx/cy offset)

@@ -90,7 +90,7 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
         rasterize_tiled, sh_degree=cfg.map.sh_degree, width=intr.width,
         height=intr.height, tile=rcfg.tile_size,
         visible_cap=rcfg.visible_capacity, tile_span=rcfg.tile_span,
-        tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk)
+        tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk, want_used=False)
 
     def _sh(params):
         return jnp.concatenate(

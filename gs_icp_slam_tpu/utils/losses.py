@@ -12,7 +12,7 @@ Images are channels-first (C, H, W) like the reference.
 from __future__ import annotations
 
 import math
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -33,29 +33,45 @@ def l2_masked(pred: jnp.ndarray, gt: jnp.ndarray):
 
 
 @lru_cache(maxsize=8)
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
     xs = np.arange(window_size)
     g = np.exp(-((xs - window_size // 2) ** 2) / (2.0 * sigma**2))
-    g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return w2d
+    return (g / g.sum()).astype(np.float32)
 
 
-def _depthwise_conv2d(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """img (C, H, W), window (k, k) -> same-shape depthwise convolution."""
-    c = img.shape[0]
-    k = window.shape[0]
-    lhs = img[None]  # (1, C, H, W)
-    rhs = jnp.broadcast_to(window[None, None], (c, 1, k, k))
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1, 1),
-        padding="SAME",
-        feature_group_count=c,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0]
+@lru_cache(maxsize=8)
+def _blur_mats(h: int, w: int, window_size: int, sigma: float):
+    """Banded row/col Gaussian-blur matrices.
+
+    A depthwise kxk conv with C=3 groups maps terribly onto the MXU (it
+    ran on the VPU at ~42 ms fwd+bwd for 6 blurs of a 1200x680 image);
+    the separable blur as two banded matmuls R @ img @ C^T is pure MXU
+    work.  Truncation at the image border == SAME zero padding.
+    """
+    k = window_size // 2
+    g = _gaussian_1d(window_size, sigma)
+
+    def banded(n):
+        m = np.zeros((n, n), np.float32)
+        for d in range(-k, k + 1):
+            v = g[d + k]
+            idx = np.arange(max(0, -d), min(n, n - d))
+            m[idx, idx + d] = v
+        return m
+
+    return banded(h), banded(w)
+
+
+def _blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of (C, H, W) via banded matmuls (MXU)."""
+    _, h, w = img.shape
+    rm, cm = _blur_mats(h, w, window_size, sigma)
+    rm = jnp.asarray(rm)
+    cm = jnp.asarray(cm)
+    x = jnp.einsum("hk,ckw->chw", rm, img,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("ckw,vw->ckv", x, cm,
+                      preferred_element_type=jnp.float32)
 
 
 def ssim(img: jnp.ndarray, gt: jnp.ndarray, window_size: int = 11):
@@ -64,16 +80,16 @@ def ssim(img: jnp.ndarray, gt: jnp.ndarray, window_size: int = 11):
     Returns (ssim_map, scalar mean).
     """
     img = jnp.where(gt != 0.0, img, 0.0)
-    window = jnp.asarray(_gaussian_window(window_size, 1.5))
+    blur = partial(_blur, window_size=window_size, sigma=1.5)
 
-    mu1 = _depthwise_conv2d(img, window)
-    mu2 = _depthwise_conv2d(gt, window)
+    mu1 = blur(img)
+    mu2 = blur(gt)
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = _depthwise_conv2d(img * img, window) - mu1_sq
-    sigma2_sq = _depthwise_conv2d(gt * gt, window) - mu2_sq
-    sigma12 = _depthwise_conv2d(img * gt, window) - mu1_mu2
+    sigma1_sq = blur(img * img) - mu1_sq
+    sigma2_sq = blur(gt * gt) - mu2_sq
+    sigma12 = blur(img * gt) - mu1_mu2
 
     c1 = 0.01**2
     c2 = 0.03**2

@@ -78,6 +78,29 @@ class TestKNN:
         np.testing.assert_array_equal(np.asarray(idx), d2.argmin(1))
         np.testing.assert_allclose(np.asarray(sqd), d2.min(1), rtol=1e-4, atol=1e-5)
 
+    def test_nn_search_pallas_matches(self):
+        """Pallas 1-NN kernel (interpret mode on CPU) vs brute force."""
+        rng = np.random.default_rng(3)
+        q = rng.normal(size=(70, 3)).astype(np.float32)
+        r = rng.normal(size=(300, 3)).astype(np.float32)
+        valid = np.ones(300, bool)
+        valid[::5] = False
+        idx, sqd = nn_search(jnp.asarray(q), jnp.asarray(r),
+                             jnp.asarray(valid), use_pallas=True)
+        d2 = ((q[:, None] - r[None]) ** 2).sum(-1)
+        d2[:, ~valid] = np.inf
+        np.testing.assert_array_equal(np.asarray(idx), d2.argmin(1))
+        np.testing.assert_allclose(np.asarray(sqd), d2.min(1), rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_nn_search_pallas_all_invalid(self):
+        rng = np.random.default_rng(4)
+        q = rng.normal(size=(8, 3)).astype(np.float32)
+        r = rng.normal(size=(64, 3)).astype(np.float32)
+        _, sqd = nn_search(jnp.asarray(q), jnp.asarray(r),
+                           jnp.zeros(64, bool), use_pallas=True)
+        assert float(np.asarray(sqd).min()) > 1e30
+
     def test_knn_includes_self(self):
         rng = np.random.default_rng(1)
         p = rng.normal(size=(50, 3)).astype(np.float32)
