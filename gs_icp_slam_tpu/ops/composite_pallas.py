@@ -200,3 +200,226 @@ def make_composite(T: int, ntx: int, tile_px: int, K: int,
 
     composite.defvjp(composite_fwd, composite_bwd)
     return composite
+
+
+# ---------------------------------------------------------------------------
+# v2: dynamic trip count — compute scales with per-tile occupancy, not K
+# ---------------------------------------------------------------------------
+#
+# The dense kernel above always composites all K slots of every tile; in a
+# live SLAM map most tiles hold a handful of splats (the CUDA kernel's
+# per-tile ranges are short).  v2 takes the per-tile splat counts as a
+# scalar-prefetch operand and runs a fori_loop over ceil(count/BK) sublane
+# blocks of the VMEM-resident tile, skipping all compute past the count.
+
+_BKD = 32  # splats per dynamic block (sublane-slice granularity)
+
+
+def _load_block(aT_ref, i):
+    # mosaic cannot dynamic_slice a value; slice the VMEM scratch ref
+    return aT_ref[pl.ds(i * _BKD, _BKD), :]
+
+
+def _block_geometry(blk, px, py, tacc):
+    """Alpha/transmittance math for one (BKD, 16) splat block."""
+    mx, my = blk[:, 0:1], blk[:, 1:2]
+    ca, cb, cc = blk[:, 2:3], blk[:, 3:4], blk[:, 4:5]
+    opa = blk[:, 8:9]
+    dx = px - mx                                   # (BKD, P)
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    araw = opa * jnp.exp(power)
+    gate = (power <= 0.0) & (araw >= ALPHA_MIN)
+    alpha = jnp.where(gate, jnp.minimum(araw, ALPHA_MAX), 0.0)
+    logo = jnp.log1p(-alpha)
+    csum = _cumsum_sublanes(logo)
+    t_next = tacc * jnp.exp(csum)
+    t_before = tacc * jnp.exp(csum - logo)
+    inc = (t_next >= T_EPS).astype(jnp.float32)
+    w = alpha * t_before * inc
+    tacc_out = tacc * jnp.exp(csum[_BKD - 1:_BKD, :])
+    return (dx, dy, power, araw, gate, alpha, t_next, t_before, inc, w,
+            tacc_out)
+
+
+def _fwd_kernel_dyn(counts_ref, attrs_ref, out_ref, aT_ref, *, ntx: int,
+                    tile_px: int, P: int, K: int):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    nb = (count + _BKD - 1) // _BKD
+
+    a = attrs_ref[0]                               # (16, K)
+    ident = _identity(K)
+    aT_ref[...] = jax.lax.dot_general(
+        ident, a, _CONTRACT_11,
+        preferred_element_type=jnp.float32)        # (K, 16)
+
+    tx = t % ntx
+    ty = t // ntx
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (tx * tile_px + pid % tile_px).astype(jnp.float32)
+    py = (ty * tile_px + pid // tile_px).astype(jnp.float32)
+
+    def body(i, carry):
+        tacc, cr, cg, cb_, cd, tf = carry
+        blk = _load_block(aT_ref, i)
+        (_, _, _, _, _, _, t_next, _, inc, w, tacc_out) = _block_geometry(
+            blk, px, py, tacc)
+        cr = cr + jnp.sum(w * blk[:, 5:6], axis=0, keepdims=True)
+        cg = cg + jnp.sum(w * blk[:, 6:7], axis=0, keepdims=True)
+        cb_ = cb_ + jnp.sum(w * blk[:, 7:8], axis=0, keepdims=True)
+        cd = cd + jnp.sum(w * blk[:, 9:10], axis=0, keepdims=True)
+        tf = jnp.minimum(tf, jnp.min(jnp.where(inc > 0.0, t_next, 3.4e38),
+                                     axis=0, keepdims=True))
+        return tacc_out, cr, cg, cb_, cd, tf
+
+    zero = jnp.zeros((1, P), jnp.float32)
+    one = jnp.ones((1, P), jnp.float32)
+    tacc, cr, cg, cb_, cd, tf = jax.lax.fori_loop(
+        0, nb, body, (one, zero, zero, zero, zero, one))
+    pad = jnp.zeros((3, P), jnp.float32)
+    out_ref[0] = jnp.concatenate([cr, cg, cb_, cd, tf, pad], axis=0)
+
+
+def _bwd_kernel_dyn(counts_ref, attrs_ref, g_ref, dattrs_ref, aT_ref,
+                    daT_ref, *, ntx: int, tile_px: int, P: int, K: int):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    nb = (count + _BKD - 1) // _BKD
+
+    a = attrs_ref[0]
+    ident = _identity(K)
+    aT_ref[...] = jax.lax.dot_general(
+        ident, a, _CONTRACT_11,
+        preferred_element_type=jnp.float32)        # (K, 16)
+
+    tx = t % ntx
+    ty = t // ntx
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (tx * tile_px + pid % tile_px).astype(jnp.float32)
+    py = (ty * tile_px + pid // tile_px).astype(jnp.float32)
+
+    gmat = g_ref[0]                                # (8, P)
+    g4 = gmat[0:4, :]
+    gtf = gmat[4:5, :]
+
+    # pass A: recompute forward for total c-sum and final transmittance
+    def body_a(i, carry):
+        tacc, csum_tot, tf = carry
+        blk = _load_block(aT_ref, i)
+        (_, _, _, _, _, _, t_next, _, inc, w, tacc_out) = _block_geometry(
+            blk, px, py, tacc)
+        a4 = jnp.concatenate([blk[:, 5:8], blk[:, 9:10]], axis=1)  # (BKD, 4)
+        dLdw = jax.lax.dot_general(a4, g4, _CONTRACT_STD,
+                                   preferred_element_type=jnp.float32)
+        csum_tot = csum_tot + jnp.sum(w * dLdw, axis=0, keepdims=True)
+        tf = jnp.minimum(tf, jnp.min(jnp.where(inc > 0.0, t_next, 3.4e38),
+                                     axis=0, keepdims=True))
+        return tacc_out, csum_tot, tf
+
+    zero = jnp.zeros((1, P), jnp.float32)
+    one = jnp.ones((1, P), jnp.float32)
+    _, c_total, tf = jax.lax.fori_loop(0, nb, body_a, (one, zero, one))
+
+    daT_ref[...] = jnp.zeros((K, 16), jnp.float32)
+
+    # pass B: forward again, emitting per-splat gradients with the global
+    # suffix sum S_k = c_total - prefix_incl_k
+    def body_b(i, carry):
+        tacc, prefix = carry
+        blk = _load_block(aT_ref, i)
+        (dx, dy, power, araw, gate, alpha, t_next, t_before, inc, w,
+         tacc_out) = _block_geometry(blk, px, py, tacc)
+        a4 = jnp.concatenate([blk[:, 5:8], blk[:, 9:10]], axis=1)
+        dLdw = jax.lax.dot_general(a4, g4, _CONTRACT_STD,
+                                   preferred_element_type=jnp.float32)
+        c = w * dLdw
+        prefix_incl = prefix + _cumsum_sublanes(c)
+        S = c_total - prefix_incl
+        o = 1.0 - alpha
+        dalpha = inc * t_before * dLdw - (S + inc * (gtf * tf)) / o
+
+        m = (gate & (araw < ALPHA_MAX)).astype(jnp.float32)
+        dpow = dalpha * m * araw
+        ca, cb, cc = blk[:, 2:3], blk[:, 3:4], blk[:, 4:5]
+
+        def lsum(x):
+            return jnp.sum(x, axis=1, keepdims=True)
+
+        dmx = lsum(dpow * (ca * dx + cb * dy))
+        dmy = lsum(dpow * (cc * dy + cb * dx))
+        dca = lsum(dpow * (-0.5 * dx * dx))
+        dcb = lsum(dpow * (-dx * dy))
+        dcc = lsum(dpow * (-0.5 * dy * dy))
+        dr = lsum(w * gmat[0:1, :])
+        dg = lsum(w * gmat[1:2, :])
+        db = lsum(w * gmat[2:3, :])
+        dop = lsum(dalpha * m * jnp.exp(power))
+        ddep = lsum(w * gmat[3:4, :])
+        dblk = jnp.concatenate(
+            [dmx, dmy, dca, dcb, dcc, dr, dg, db, dop, ddep,
+             jnp.zeros((_BKD, 6), jnp.float32)], axis=1)     # (BKD, 16)
+        daT_ref[pl.ds(i * _BKD, _BKD), :] = dblk
+        return tacc_out, prefix_incl[_BKD - 1:_BKD, :]
+
+    jax.lax.fori_loop(0, nb, body_b, (one, zero))
+
+    daT = daT_ref[...]
+    dattrs_ref[0] = jax.lax.dot_general(
+        daT, ident, _CONTRACT_00, preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def make_composite_dyn(T: int, ntx: int, tile_px: int, K: int,
+                       interpret: bool = False):
+    """Dynamic-trip-count compositor: f(counts (T,) int32, attrs (T,16,K))
+    -> (T,8,P).  Splats past counts[t] are ignored and get zero gradient;
+    counts must be pre-clamped to [0, K]."""
+    P = tile_px * tile_px
+    grid_fwd = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, 16, K), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, P), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((K, 16), jnp.float32)],
+    )
+    fwd_call = pl.pallas_call(
+        partial(_fwd_kernel_dyn, ntx=ntx, tile_px=tile_px, P=P, K=K),
+        grid_spec=grid_fwd,
+        out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
+        interpret=interpret,
+    )
+    grid_bwd = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, 16, K), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, P), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 16, K), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((K, 16), jnp.float32),
+                        pltpu.VMEM((K, 16), jnp.float32)],
+    )
+    bwd_call = pl.pallas_call(
+        partial(_bwd_kernel_dyn, ntx=ntx, tile_px=tile_px, P=P, K=K),
+        grid_spec=grid_bwd,
+        out_shape=jax.ShapeDtypeStruct((T, 16, K), jnp.float32),
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def composite(counts, attrs):
+        return fwd_call(counts, attrs)
+
+    def composite_fwd(counts, attrs):
+        return fwd_call(counts, attrs), (counts, attrs)
+
+    def composite_bwd(res, g):
+        counts, attrs = res
+        return None, bwd_call(counts, attrs, g)
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite

@@ -132,8 +132,10 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
     tile_s, val_s = jax.lax.sort((key_tile, val), num_keys=1, is_stable=True)
 
     # tile t's run is [start[t], start[t+1]); gather beats scatter on TPU
-    start = jnp.searchsorted(tile_s, jnp.arange(T, dtype=jnp.int32),
+    start = jnp.searchsorted(tile_s, jnp.arange(T + 1, dtype=jnp.int32),
                              method="scan_unrolled").astype(jnp.int32)
+    counts = jnp.minimum(start[1:] - start[:-1], K)               # (T,)
+    start = start[:-1]
     gpos = jnp.minimum(start[:, None] + jnp.arange(K, dtype=jnp.int32)[None],
                        tile_s.shape[0] - 1)
     hit = tile_s[gpos] == jnp.arange(T, dtype=jnp.int32)[:, None]
@@ -148,12 +150,12 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
         use_pallas = jax.default_backend() == "tpu"
     P = tile * tile
     if use_pallas and K % 128 == 0 and P % 128 == 0:
-        from .composite_pallas import make_composite
+        from .composite_pallas import make_composite_dyn
 
         attrs16 = jnp.pad(attrs, ((0, 0), (0, 6), (0, 0)))
-        comp = make_composite(T, ntx, tile, K,
-                              interpret=jax.default_backend() != "tpu")
-        out8 = comp(attrs16)                        # (T, 8, P)
+        comp = make_composite_dyn(T, ntx, tile, K,
+                                  interpret=jax.default_backend() != "tpu")
+        out8 = comp(counts, attrs16)                # (T, 8, P)
         tfin_px = out8[:, 4]                        # (T, P)
         color_px = out8[:, 0:3] + tfin_px[:, None, :] * bg[None, :, None]
         color_t = jnp.moveaxis(color_px, 1, 2).reshape(T, tile, tile, 3)
