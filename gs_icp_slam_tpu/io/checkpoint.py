@@ -39,8 +39,9 @@ def save_checkpoint(engine, path: str) -> None:
         [engine.kf_count, engine.from_last_kf, engine.train_iter], np.int64)
     if engine.target is not None:
         arrays["target.points"] = np.asarray(engine.target.points)
-        arrays["target.cov"] = np.asarray(engine.target.cov)
+        arrays["target.cov6"] = np.asarray(engine.target.cov6)
         arrays["target.valid"] = np.asarray(engine.target.valid)
+        arrays["target.nn_bias"] = np.asarray(engine.target.nn_bias)
     # keyframe-choice RNG state, so resumed mapping iterations replay
     # exactly; PCG64 state/inc are 128-bit -> stored as (hi, lo) uint64
     st = engine.rng.bit_generator.state
@@ -77,8 +78,9 @@ def load_checkpoint(engine, path: str) -> None:
         from ..ops.gicp import GICPTarget
 
         engine.target = GICPTarget(points=jnp.asarray(z["target.points"]),
-                                   cov=jnp.asarray(z["target.cov"]),
-                                   valid=jnp.asarray(z["target.valid"]))
+                                   cov6=jnp.asarray(z["target.cov6"]),
+                                   valid=jnp.asarray(z["target.valid"]),
+                                   nn_bias=jnp.asarray(z["target.nn_bias"]))
     if "rng.state" in z.files:
         def join128(a):
             return (int(a[0]) << 64) | int(a[1])

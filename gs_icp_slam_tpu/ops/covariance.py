@@ -66,6 +66,41 @@ def quat_scale_to_cov(quat: jnp.ndarray, scales: jnp.ndarray):
     return jnp.einsum("...ij,...j,...kj->...ik", R, scales * scales, R)
 
 
+def quat_scale_to_reg_cov6(quat: jnp.ndarray, scales: jnp.ndarray,
+                           eps: float = 1e-3) -> jnp.ndarray:
+    """Plane-regularized covariance COMPONENTS (6, N) from (quat, scale).
+
+    Channel-first variant of quat_scale_to_reg_cov for the registration
+    hot path: no (N, 3, 3) buffer (whose trailing 3x3 pads to the (8, 128)
+    TPU tile), rows are [m00, m01, m02, m11, m12, m22].
+    """
+    n = jnp.sqrt(jnp.sum(quat * quat, axis=-1))
+    n = jnp.maximum(n, 1e-12)
+    x, y, z, w = (quat[:, 0] / n, quat[:, 1] / n, quat[:, 2] / n,
+                  quat[:, 3] / n)
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    s2 = scales * scales
+    amin = jnp.argmin(s2, axis=-1)
+    d0 = jnp.where(amin == 0, eps, 1.0)
+    d1 = jnp.where(amin == 1, eps, 1.0)
+    d2 = jnp.where(amin == 2, eps, 1.0)
+    m00 = d0 * r00 * r00 + d1 * r01 * r01 + d2 * r02 * r02
+    m01 = d0 * r00 * r10 + d1 * r01 * r11 + d2 * r02 * r12
+    m02 = d0 * r00 * r20 + d1 * r01 * r21 + d2 * r02 * r22
+    m11 = d0 * r10 * r10 + d1 * r11 * r11 + d2 * r12 * r12
+    m12 = d0 * r10 * r20 + d1 * r11 * r21 + d2 * r12 * r22
+    m22 = d0 * r20 * r20 + d1 * r21 * r21 + d2 * r22 * r22
+    return jnp.stack([m00, m01, m02, m11, m12, m22], axis=0)
+
+
 def quat_scale_to_reg_cov(quat: jnp.ndarray, scales: jnp.ndarray, eps: float = 1e-3):
     """Plane-regularized covariance directly from (quat, scale) — no eigh.
 

@@ -3,7 +3,7 @@
 Replaces the pygicp/fast_gicp C++ library (SURVEY §2.9/§2.9a) with a fully
 vectorized JAX implementation:
 
-  * correspondences: fused brute-force 1-NN (ops/knn.py) recomputed every
+  * correspondences: Pallas VMEM 1-NN (ops/nn_pallas.py) recomputed every
     Gauss-Newton iteration, gated at max_correspondence_distance^2 on the
     squared distance — matching fast_gicp's kd-tree + threshold gate.
   * distance-minimizing step: Mahalanobis point-to-distribution Gauss-Newton
@@ -11,6 +11,13 @@ vectorized JAX implementation:
     fast_gicp-style convergence epsilons (SURVEY §2.9).
   * covariances: plane-regularized (ops/covariance.py); target covariances
     can be injected from optimized map gaussians (covariance sharing).
+
+Layout rule (same as the rasterizer): per-point registration state is
+CHANNEL-FIRST.  The target stores points (3, T) and covariance components
+(6, T) so the per-iteration correspondence fetch is ONE (9, T) lane
+gather (a row gather of (T, 3, 3) measured ~8x slower), and the whole
+Gauss-Newton accumulation is component arithmetic on (S,) arrays — no
+(S, 3, 3) buffers, whose trailing 3x3 pads to the (8, 128) TPU tile.
 
 All shapes are static; invalid slots ride along with zero weight.
 """
@@ -23,47 +30,76 @@ import jax
 import jax.numpy as jnp
 
 from ..config import GICPConfig
-from ..utils.se3 import se3_exp, skew
-from .covariance import (estimate_covariances, quat_scale_to_reg_cov,
-                         regularize_plane, cov_to_quat_scale)
-from .knn import knn_search, nn_search
+from ..utils.se3 import se3_exp
+from .covariance import (cov_to_quat_scale, estimate_covariances,
+                         quat_scale_to_reg_cov6, regularize_plane)
+from .knn import knn_search
+
+_BIG = 3.4e38
+
+
+def _pad_lanes(n: int, granule: int = 4096) -> int:
+    return -(-n // granule) * granule
 
 
 class GICPTarget(NamedTuple):
-    """Fixed-capacity target (map) cloud with registration covariances."""
+    """Fixed-capacity target (map) cloud with registration covariances.
 
-    points: jnp.ndarray  # (T, 3)
-    cov: jnp.ndarray  # (T, 3, 3) plane-regularized
-    valid: jnp.ndarray  # (T,) bool
+    Channel-first storage, padded along T to the NN-kernel block size:
+      points (3, T); cov6 (6, T) rows [m00, m01, m02, m11, m12, m22]
+      (plane-regularized); valid (T,); nn_bias (1, T) additive validity
+      bias for the NN kernel: 0 on valid slots, +BIG on invalid ones.
+    """
+
+    points: jnp.ndarray
+    cov6: jnp.ndarray
+    valid: jnp.ndarray
+    nn_bias: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[1]
 
 
 class GICPSource(NamedTuple):
     """Per-frame source cloud (trackable subset of the downsampled frame)."""
 
     points: jnp.ndarray  # (S, 3) camera-frame
-    cov: jnp.ndarray  # (S, 3, 3) plane-regularized, camera-frame
+    cov6: jnp.ndarray  # (6, S) plane-regularized components, camera-frame
     quat: jnp.ndarray  # (S, 4) xyzw of raw covariance eigenbasis
     scales: jnp.ndarray  # (S, 3) sqrt raw eigenvalues
     valid: jnp.ndarray  # (S,) bool
 
 
-def _inv3x3_sym(M: jnp.ndarray) -> jnp.ndarray:
-    """Cofactor inverse of batched symmetric 3x3 (cheaper than LU solve)."""
-    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
-    d, e = M[..., 1, 1], M[..., 1, 2]
-    f = M[..., 2, 2]
-    A = d * f - e * e
-    B = c * e - b * f
-    C = b * e - c * d
-    det = a * A + b * B + c * C
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
-    D = a * f - c * c
-    E = b * c - a * e
-    F = a * d - b * b
-    row0 = jnp.stack([A, B, C], axis=-1)
-    row1 = jnp.stack([B, D, E], axis=-1)
-    row2 = jnp.stack([C, E, F], axis=-1)
-    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+def empty_target(capacity: int) -> GICPTarget:
+    tc = _pad_lanes(capacity)
+    cov6 = jnp.zeros((6, tc), jnp.float32)
+    cov6 = cov6.at[0].set(1.0).at[3].set(1.0).at[5].set(1.0)  # identity
+    return GICPTarget(points=jnp.zeros((3, tc), jnp.float32),
+                      cov6=cov6,
+                      valid=jnp.zeros((tc,), bool),
+                      nn_bias=jnp.full((1, tc), _BIG, jnp.float32))
+
+
+def _cov_mat_to6(cov: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3, 3) symmetric -> (6, N) components."""
+    return jnp.stack([cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2],
+                      cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]], axis=0)
+
+
+def _build_target(points_nc: jnp.ndarray, cov6: jnp.ndarray,
+                  valid: jnp.ndarray, capacity: int | None) -> GICPTarget:
+    """points_nc (P, 3), cov6 (6, P), valid (P,) -> padded GICPTarget."""
+    p = points_nc.shape[0]
+    tc = _pad_lanes(capacity if capacity is not None else p)
+    assert tc >= p, (p, tc)
+    pts = jnp.zeros((3, tc), jnp.float32).at[:, :p].set(points_nc.T)
+    c6 = jnp.zeros((6, tc), jnp.float32)
+    c6 = c6.at[0].set(1.0).at[3].set(1.0).at[5].set(1.0)
+    c6 = c6.at[:, :p].set(cov6)
+    v = jnp.zeros((tc,), bool).at[:p].set(valid)
+    bias = jnp.where(v[None, :], 0.0, _BIG)
+    return GICPTarget(points=pts, cov6=c6, valid=v, nn_bias=bias)
 
 
 def make_source(points: jnp.ndarray, valid: jnp.ndarray,
@@ -84,12 +120,12 @@ def make_source(points: jnp.ndarray, valid: jnp.ndarray,
     cov_raw = estimate_covariances(points, idx, valid)
     quat, scales = cov_to_quat_scale(cov_raw)
     cov_reg = regularize_plane(cov_raw, cfg.plane_eps)
-    return GICPSource(points=points, cov=cov_reg, quat=quat, scales=scales,
-                      valid=trackable)
+    return GICPSource(points=points, cov6=_cov_mat_to6(cov_reg), quat=quat,
+                      scales=scales, valid=trackable)
 
 
 def target_from_points(points: jnp.ndarray, valid: jnp.ndarray,
-                       cfg: GICPConfig):
+                       cfg: GICPConfig, capacity: int | None = None):
     """Frame-0 target: covariances from kNN over the (already
     world-transformed) first cloud.  Also returns the raw-covariance
     (quat, scale) pairs used to seed the first gaussians.
@@ -99,17 +135,101 @@ def target_from_points(points: jnp.ndarray, valid: jnp.ndarray,
     cov_raw = estimate_covariances(points, idx, valid)
     quat, scales = cov_to_quat_scale(cov_raw)
     cov_reg = regularize_plane(cov_raw, cfg.plane_eps)
-    return GICPTarget(points=points, cov=cov_reg, valid=valid), quat, scales
+    target = _build_target(points, _cov_mat_to6(cov_reg), valid, capacity)
+    return target, quat, scales
 
 
 def target_from_gaussians(xyz: jnp.ndarray, quat: jnp.ndarray,
                           scales: jnp.ndarray, valid: jnp.ndarray,
-                          cfg: GICPConfig) -> GICPTarget:
+                          cfg: GICPConfig,
+                          capacity: int | None = None) -> GICPTarget:
     """Covariance sharing, map -> tracker (set_target_covariances_fromqs,
     mp_Tracker.py:286-288): optimized gaussian rotations/scales become the
     registration covariances; no kNN recomputation."""
-    cov = quat_scale_to_reg_cov(quat, scales, cfg.plane_eps)
-    return GICPTarget(points=xyz, cov=cov, valid=valid)
+    cov6 = quat_scale_to_reg_cov6(quat, scales, cfg.plane_eps)
+    return _build_target(xyz, cov6, valid, capacity)
+
+
+def _nn_target(p: jnp.ndarray, target: GICPTarget, use_pallas=None):
+    """1-NN of (S, 3) world points in the target; prefetched ref norms."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .nn_pallas import nn_search_pre
+        return nn_search_pre(p, target.points, target.nn_bias)
+    from .knn import nn_search
+    return nn_search(p, target.points.T, target.valid, use_pallas=False)
+
+
+def _rotate_cov6(R: jnp.ndarray, c6: jnp.ndarray):
+    """(R Sigma R^T) components from (6, S) components and 3x3 R."""
+    c00, c01, c02, c11, c12, c22 = c6
+    r = R
+
+    def rowdot(wa, wb, wc):
+        m0 = wa * c00 + wb * c01 + wc * c02
+        m1 = wa * c01 + wb * c11 + wc * c12
+        m2 = wa * c02 + wb * c12 + wc * c22
+        return m0, m1, m2
+
+    m0 = rowdot(r[0, 0], r[0, 1], r[0, 2])
+    m1 = rowdot(r[1, 0], r[1, 1], r[1, 2])
+    m2 = rowdot(r[2, 0], r[2, 1], r[2, 2])
+
+    def coldot(m, wa, wb, wc):
+        return m[0] * wa + m[1] * wb + m[2] * wc
+
+    return (coldot(m0, r[0, 0], r[0, 1], r[0, 2]),
+            coldot(m0, r[1, 0], r[1, 1], r[1, 2]),
+            coldot(m0, r[2, 0], r[2, 1], r[2, 2]),
+            coldot(m1, r[1, 0], r[1, 1], r[1, 2]),
+            coldot(m1, r[2, 0], r[2, 1], r[2, 2]),
+            coldot(m2, r[2, 0], r[2, 1], r[2, 2]))
+
+
+def _chol_solve6(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled scalar Cholesky solve for the 6x6 Gauss-Newton system.
+
+    jnp.linalg.solve lowers to a pivoted LU that costs milliseconds on TPU
+    for a tiny system; H is SPD (+ damping), so an unrolled Cholesky in
+    pure scalar ops is exact and effectively free."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
+def _inv3x3_sym6(b00, b01, b02, b11, b12, b22):
+    """Cofactor inverse of symmetric 3x3 given as components."""
+    A = b11 * b22 - b12 * b12
+    B = b02 * b12 - b01 * b22
+    C = b01 * b12 - b02 * b11
+    det = b00 * A + b01 * B + b02 * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    D = b00 * b22 - b02 * b02
+    E = b01 * b02 - b00 * b12
+    F = b00 * b11 - b01 * b01
+    return (A * inv_det, B * inv_det, C * inv_det, D * inv_det,
+            E * inv_det, F * inv_det)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -121,36 +241,73 @@ def gicp_align(source: GICPSource, target: GICPTarget, init_T: jnp.ndarray,
     (camera) points into the target (world) frame.
     """
     sq_gate = cfg.max_correspondence_distance**2
-
-    def weights_and_terms(T):
-        R = T[:3, :3]
-        p = source.points @ R.T + T[:3, 3]  # (S, 3) transformed
-        idx, sqd = nn_search(p, target.points, target.valid)
-        w = (source.valid & (sqd < sq_gate)).astype(p.dtype)
-        t_pts = target.points[idx]
-        t_cov = target.cov[idx]
-        # combined covariance in world frame
-        RCsRT = jnp.einsum("ij,njk,lk->nil", R, source.cov, R)
-        M = _inv3x3_sym(t_cov + RCsRT)
-        e = t_pts - p  # (S, 3)
-        return p, M, e, w
+    tgt9 = jnp.concatenate([target.points, target.cov6], axis=0)  # (9, T)
 
     def gn_step(T):
-        p, M, e, w = weights_and_terms(T)
-        Mw = M * w[:, None, None]
-        A = skew(p)  # (S, 3, 3); de/domega = +A, de/dv = -I
-        AtM = jnp.einsum("nji,njk->nik", A, Mw)  # A^T M
-        H00 = jnp.einsum("nij,njk->ik", AtM, A)
-        H01 = -jnp.sum(AtM, axis=0)
-        H11 = jnp.sum(Mw, axis=0)
+        R = T[:3, :3]
+        p = source.points @ R.T + T[:3, 3]        # (S, 3) transformed (MXU)
+        idx, sqd = _nn_target(p, target)
+        w = (source.valid & (sqd < sq_gate)).astype(jnp.float32)
+
+        g9 = tgt9[:, idx]                         # ONE (9, S) lane gather
+        ex = g9[0] - p[:, 0]
+        ey = g9[1] - p[:, 1]
+        ez = g9[2] - p[:, 2]
+
+        # M = inv(t_cov + R Cs R^T), weighted by w — all component math
+        rc = _rotate_cov6(R, source.cov6)
+        m00, m01, m02, m11, m12, m22 = _inv3x3_sym6(
+            g9[3] + rc[0], g9[4] + rc[1], g9[5] + rc[2],
+            g9[6] + rc[3], g9[7] + rc[4], g9[8] + rc[5])
+        err = jnp.sum(w * (ex * (m00 * ex + m01 * ey + m02 * ez)
+                           + ey * (m01 * ex + m11 * ey + m12 * ez)
+                           + ez * (m02 * ex + m12 * ey + m22 * ez)))
+        m00, m01, m02 = m00 * w, m01 * w, m02 * w
+        m11, m12, m22 = m11 * w, m12 * w, m22 * w
+
+        px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+        # B = A^T M with A = skew(p) (columns u_i), M columns Mc_j:
+        b00 = pz * m01 - py * m02
+        b01 = pz * m11 - py * m12
+        b02 = pz * m12 - py * m22
+        b10 = -pz * m00 + px * m02
+        b11 = -pz * m01 + px * m12
+        b12 = -pz * m02 + px * m22
+        b20 = py * m00 - px * m01
+        b21 = py * m01 - px * m11
+        b22 = py * m02 - px * m12
+
+        # H00 = A^T M A (symmetric): row i of B times column j of A
+        h00_00 = b01 * pz - b02 * py
+        h00_01 = -b00 * pz + b02 * px
+        h00_02 = b00 * py - b01 * px
+        h00_11 = -b10 * pz + b12 * px
+        h00_12 = b10 * py - b11 * px
+        h00_22 = b20 * py - b21 * px
+
+        def s(x):
+            return jnp.sum(x)
+
+        H00 = jnp.array([[s(h00_00), s(h00_01), s(h00_02)],
+                         [s(h00_01), s(h00_11), s(h00_12)],
+                         [s(h00_02), s(h00_12), s(h00_22)]])
+        H01 = -jnp.array([[s(b00), s(b01), s(b02)],
+                          [s(b10), s(b11), s(b12)],
+                          [s(b20), s(b21), s(b22)]])
+        H11 = jnp.array([[s(m00), s(m01), s(m02)],
+                         [s(m01), s(m11), s(m12)],
+                         [s(m02), s(m12), s(m22)]])
+        g0 = jnp.array([s(b00 * ex + b01 * ey + b02 * ez),
+                        s(b10 * ex + b11 * ey + b12 * ez),
+                        s(b20 * ex + b21 * ey + b22 * ez)])
+        g1 = -jnp.array([s(m00 * ex + m01 * ey + m02 * ez),
+                         s(m01 * ex + m11 * ey + m12 * ez),
+                         s(m02 * ex + m12 * ey + m22 * ez)])
         H = jnp.block([[H00, H01], [H01.T, H11]])
-        g0 = jnp.einsum("nij,nj->i", AtM, e)
-        g1 = -jnp.einsum("nij,nj->i", Mw, e)
         g = jnp.concatenate([g0, g1])
         H = H + cfg.lm_init_lambda * jnp.trace(H) * jnp.eye(6, dtype=H.dtype)
-        delta = jnp.linalg.solve(H, -g)
+        delta = _chol_solve6(H, -g)
         T_new = se3_exp(delta) @ T
-        err = jnp.sum(w * jnp.einsum("ni,nij,nj->n", e, M, e))
         return T_new, delta, err
 
     def cond(state):
@@ -176,5 +333,4 @@ def source_correspondences(T: jnp.ndarray, source_points: jnp.ndarray,
     the fork's get_source_correspondence (mp_Tracker.py:231), which feeds the
     keyframe overlap ratio and the overlap dedup."""
     p = source_points @ T[:3, :3].T + T[:3, 3]
-    idx, sqd = nn_search(p, target.points, target.valid)
-    return idx, sqd
+    return _nn_target(p, target)

@@ -6,10 +6,11 @@ version in knn.py materializes (Q, chunk) distance blocks in HBM every
 iteration (~41 ms at 8k x 65k on v5e); here the distance block lives in
 VMEM and only the running (best_d2, best_idx) per query ever leaves.
 
-Layout: points are channel-first (3, N) so the MXU contraction
-q^T r -> (BQ, BR) has queries on sublanes and refs on lanes; the |q|^2
-term is constant per row and never affects the argmin, so it is added
-once at the end outside the kernel.
+The distance is computed on the VPU as sum_d (q_d - r_d)^2 with queries
+on sublanes ((BQ, 1) columns) and refs on lanes ((1, BR) rows): a
+dot-product formulation puts a K=3 contraction on the MXU, which runs at
+3/128 of peak and measured 5.3 ms per call at 8k x 64k — the VPU
+broadcast form is ~8x faster.  Invalid refs carry a +BIG additive bias.
 
 Grid is (Q/BQ, R/BR) with the ref axis innermost; the output block only
 depends on the query index, so the kernel accumulates the running min
@@ -25,19 +26,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = 3.4e38  # python float: jnp scalars become captured consts in pallas kernels
+_BIG = 3.4e38  # python float: jnp scalars become captured consts in kernels
 
 
-def _nn_kernel(q_ref, r_ref, rn_ref, out_d_ref, out_i_ref, *, br: int):
+def _nn_kernel(q_ref, r_ref, bias_ref, out_d_ref, out_i_ref, *, br: int):
     rb = pl.program_id(1)
 
-    q = q_ref[...]                     # (3, BQ)
-    r = r_ref[...]                     # (3, BR)
-    rn = rn_ref[...]                   # (1, BR) |r|^2, +BIG where invalid
+    qx = q_ref[:, 0:1]                 # (BQ, 1) sublane-major queries
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
+    rx = r_ref[0:1, :]                 # (1, BR) lane-major refs
+    ry = r_ref[1:2, :]
+    rz = r_ref[2:3, :]
+    bias = bias_ref[...]               # (1, BR): 0 valid, +BIG invalid
 
-    dots = jax.lax.dot_general(q, r, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # (BQ, BR)
-    m = rn - 2.0 * dots                # argmin_r of |q-r|^2 - |q|^2
+    dx = qx - rx
+    dy = qy - ry
+    dz = qz - rz
+    m = dx * dx + dy * dy + dz * dz + bias          # (BQ, BR) pure VPU
 
     d_blk = jnp.min(m, axis=1, keepdims=True)                   # (BQ, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
@@ -63,7 +69,7 @@ def _make_nn(q_pad: int, r_pad: int, bq: int, br: int, interpret: bool):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, bq), lambda qb, rb: (0, qb),
+            pl.BlockSpec((bq, 3), lambda qb, rb: (qb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, br), lambda qb, rb: (0, rb),
                          memory_space=pltpu.VMEM),
@@ -85,8 +91,28 @@ def _make_nn(q_pad: int, r_pad: int, bq: int, br: int, interpret: bool):
 
 
 @partial(jax.jit, static_argnames=("bq", "br", "interpret"))
+def nn_search_pre(query: jnp.ndarray, rT: jnp.ndarray, bias: jnp.ndarray,
+                  bq: int = 512, br: int = 4096,
+                  interpret: bool | None = None):
+    """1-NN against a PREFETCHED reference: rT (3, Tp) channel-first points
+    and bias (1, Tp) additive validity bias (0 valid, +BIG invalid), Tp a
+    multiple of br.  This is the G-ICP inner-loop entry: the target is
+    fixed across Gauss-Newton iterations, so its layout is prepared once
+    at construction (ops/gicp.py GICPTarget)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Q = query.shape[0]
+    r_pad = rT.shape[1]
+    assert r_pad % br == 0, (r_pad, br)
+    q_pad = -(-Q // bq) * bq
+    qS = jnp.zeros((q_pad, 3), jnp.float32).at[:Q].set(query)
+    out_d, out_i = _make_nn(q_pad, r_pad, bq, br, interpret)(qS, rT, bias)
+    return out_i[:Q, 0], jnp.minimum(out_d[:Q, 0], _BIG)
+
+
+@partial(jax.jit, static_argnames=("bq", "br", "interpret"))
 def nn_search_pallas(query: jnp.ndarray, ref: jnp.ndarray,
-                     ref_valid: jnp.ndarray, bq: int = 256, br: int = 2048,
+                     ref_valid: jnp.ndarray, bq: int = 512, br: int = 4096,
                      interpret: bool | None = None):
     """Masked 1-NN: same contract as knn.nn_search (idx, sqdist per query).
 
@@ -96,19 +122,9 @@ def nn_search_pallas(query: jnp.ndarray, ref: jnp.ndarray,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    Q, R = query.shape[0], ref.shape[0]
-    q_pad = -(-Q // bq) * bq
+    R = ref.shape[0]
     r_pad = -(-R // br) * br
-
-    qT = jnp.zeros((3, q_pad), jnp.float32).at[:, :Q].set(query.T)
     rT = jnp.zeros((3, r_pad), jnp.float32).at[:, :R].set(ref.T)
-    rn = jnp.sum(rT * rT, axis=0, keepdims=True)
     vmask = jnp.zeros((1, r_pad), bool).at[0, :R].set(ref_valid)
-    rn = jnp.where(vmask, rn, _BIG)
-
-    out_d, out_i = _make_nn(q_pad, r_pad, bq, br, interpret)(qT, rT, rn)
-    qn = jnp.sum(query * query, axis=1)
-    sqd = jnp.minimum(out_d[:Q, 0] + qn, _BIG)
-    # clamp tiny negatives from the |q|^2 re-add
-    sqd = jnp.maximum(sqd, 0.0)
-    return out_i[:Q, 0], sqd
+    bias = jnp.where(vmask, 0.0, _BIG)
+    return nn_search_pre(query, rT, bias, bq=bq, br=br, interpret=interpret)

@@ -122,7 +122,8 @@ class SLAMEngine:
 
         @jax.jit
         def first_target(points_world, trackable):
-            return target_from_points(points_world, trackable, gicp_cfg)
+            return target_from_points(points_world, trackable, gicp_cfg,
+                                      capacity=cfg.engine.target_capacity)
 
         self._first_target = first_target
 
@@ -159,7 +160,8 @@ class SLAMEngine:
         def export_target(gmap):
             pts, rots, scales, valid = trackable_export(
                 gmap, cfg.map.trackable_opacity_th, out_cap)
-            return target_from_gaussians(pts, rots, scales, valid, gicp_cfg)
+            return target_from_gaussians(pts, rots, scales, valid, gicp_cfg,
+                                         capacity=out_cap)
 
         self._export_target = export_target
 

@@ -55,23 +55,6 @@ def to_chw(rgb_hwc) -> "jnp.ndarray":
         np.asarray(rgb_hwc).transpose(2, 0, 1)))
 
 
-def _pad_target(target: GICPTarget, capacity: int) -> GICPTarget:
-    """Fixed-capacity view of a target built from P <= capacity points."""
-    p = target.points.shape[0]
-    pad = capacity - p
-    assert pad >= 0, (p, capacity)
-    if pad == 0:
-        return target
-    return GICPTarget(
-        points=jnp.concatenate(
-            [target.points, jnp.zeros((pad, 3), target.points.dtype)]),
-        cov=jnp.concatenate(
-            [target.cov, jnp.tile(jnp.eye(3, dtype=target.cov.dtype),
-                                  (pad, 1, 1))]),
-        valid=jnp.concatenate([target.valid, jnp.zeros((pad,), bool)]),
-    )
-
-
 def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
     intr = cfg.intr
     gicp_cfg = cfg.gicp
@@ -168,7 +151,8 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
     def export_target(gmap):
         pts, rots, scales, valid = trackable_export(
             gmap, cfg.map.trackable_opacity_th, tc)
-        return target_from_gaussians(pts, rots, scales, valid, gicp_cfg)
+        return target_from_gaussians(pts, rots, scales, valid, gicp_cfg,
+                                     capacity=tc)
 
     # ---------------- the fused frame step ----------------
     def step(state, depth_raw, rgb_u8, is_last):
@@ -184,8 +168,7 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
             pose0 = state.poses[0]
             pts_w = transform_points(pose0, points)
             target, quat, scales = target_from_points(pts_w, trackable,
-                                                      gicp_cfg)
-            target = _pad_target(target, tc)
+                                                      gicp_cfg, capacity=tc)
             gmap = add_gaussians(state.gmap, pts_w, colors, quat, scales, z,
                                  trackable, valid,
                                  init_opacity=cfg.map.init_opacity)

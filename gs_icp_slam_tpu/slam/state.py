@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import AdamState, GaussianMap, adam_init, empty_map, map_params
-from ..ops.gicp import GICPTarget
+from ..ops.gicp import GICPTarget, empty_target
 
 
 class SLAMState(NamedTuple):
@@ -49,10 +49,7 @@ def init_state(cfg, num_frames: int, pose0: np.ndarray,
     return SLAMState(
         gmap=gmap,
         adam=adam_init(map_params(gmap)),
-        target=GICPTarget(points=jnp.zeros((tc, 3), jnp.float32),
-                          cov=jnp.tile(jnp.eye(3, dtype=jnp.float32),
-                                       (tc, 1, 1)),
-                          valid=jnp.zeros((tc,), bool)),
+        target=empty_target(tc),
         poses=poses,
         frame_idx=jnp.int32(0),
         kf_w2c=jnp.zeros((kc, 4, 4), jnp.float32),
