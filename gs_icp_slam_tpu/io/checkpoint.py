@@ -19,6 +19,50 @@ import numpy as np
 from ..models import AdamState, GaussianMap
 
 
+def save_fused_state(state, path: str) -> None:
+    """Write a FusedEngine SLAMState (one device pytree) as npz."""
+    arrays = {}
+    for f in state.gmap._fields:
+        arrays[f"gmap.{f}"] = np.asarray(getattr(state.gmap, f))
+    for k, v in state.adam.m.items():
+        arrays[f"adam.m.{k}"] = np.asarray(v)
+    for k, v in state.adam.v.items():
+        arrays[f"adam.v.{k}"] = np.asarray(v)
+    arrays["adam.step"] = np.asarray(state.adam.step)
+    for f in state.target._fields:
+        arrays[f"target.{f}"] = np.asarray(getattr(state.target, f))
+    for f in ("poses", "frame_idx", "kf_w2c", "kf_rgb", "kf_depth",
+              "kf_count", "new_kf", "from_last_kf", "train_iter", "rng",
+              "last_ratio"):
+        arrays[f"s.{f}"] = np.asarray(getattr(state, f))
+    np.savez_compressed(path, **arrays)
+
+
+def load_fused_state(path: str):
+    import jax.numpy as jnp
+
+    from ..ops.gicp import GICPTarget
+    from ..slam.state import SLAMState
+
+    z = np.load(path, allow_pickle=False)
+    gmap = GaussianMap(**{f: jnp.asarray(z[f"gmap.{f}"])
+                          for f in GaussianMap._fields})
+    keys = [k[len("adam.m."):] for k in z.files if k.startswith("adam.m.")]
+    adam = AdamState(
+        m={k: jnp.asarray(z[f"adam.m.{k}"]) for k in keys},
+        v={k: jnp.asarray(z[f"adam.v.{k}"]) for k in keys},
+        step=jnp.asarray(z["adam.step"]))
+    target = GICPTarget(**{f: jnp.asarray(z[f"target.{f}"])
+                           for f in GICPTarget._fields})
+    rest = {f: jnp.asarray(z[f"s.{f}"])
+            for f in ("poses", "frame_idx", "kf_w2c", "kf_rgb", "kf_depth",
+                      "kf_count", "new_kf", "from_last_kf", "train_iter",
+                      "rng", "last_ratio")}
+    # PRNG keys restore as uint32 arrays
+    rest["rng"] = jnp.asarray(np.asarray(z["s.rng"], np.uint32))
+    return SLAMState(gmap=gmap, adam=adam, target=target, **rest)
+
+
 def save_checkpoint(engine, path: str) -> None:
     m = engine.gmap
     a = engine.adam

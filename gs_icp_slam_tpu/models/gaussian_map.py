@@ -191,6 +191,96 @@ def trackable_export(m: GaussianMap, opacity_th: float, out_capacity: int):
             valid)
 
 
+def densify_clone_split(m: GaussianMap, grad_norm: jnp.ndarray,
+                        extent: float, rng: jnp.ndarray,
+                        grad_threshold: float = 2e-4,
+                        percent_dense: float = 0.01,
+                        max_new: int = 4096) -> GaussianMap:
+    """Adaptive density control: densify_and_clone / densify_and_split
+    (gaussian_model.py:494-541).
+
+    The reference DEFINES these but the SLAM mapper never calls them
+    (SURVEY §3.3 note) — density comes from keyframe insertion.  Provided
+    behind MapConfig.densify_enabled for vanilla-3DGS workflows.
+
+    Args:
+      grad_norm (C,): per-gaussian positional gradient norm (the reference
+        accumulates viewspace-point grads; any consistent xyz-grad norm
+        works as the trigger signal).
+      extent: scene extent; small/large split at percent_dense * extent.
+      rng: PRNG key for the split samples.
+      max_new: static cap on selected gaussians per call (each yields two
+        rows: a copy/sample pair).
+    """
+    C = m.capacity
+    max_new = min(max_new, C)
+    scal = m.scaling
+    big = jnp.max(scal, axis=-1) > percent_dense * extent
+    hot = m.live & (grad_norm >= grad_threshold)
+    sel_clone = hot & ~big
+    sel_split = hot & big
+    sel = sel_clone | sel_split
+
+    order = jnp.argsort(jnp.logical_not(sel), stable=True)[:max_new]
+    count = jnp.minimum(jnp.sum(sel.astype(jnp.int32)), max_new)
+    ok = jnp.arange(max_new) < count
+
+    xyz = m.xyz[order]
+    f_dc = m.f_dc[order]
+    f_rest = m.f_rest[order]
+    logs = m.log_scaling[order]
+    rot = m.rotation[order]
+    opl = m.opacity_logit[order]
+    trk = m.trackable[order]
+    is_split = sel_split[order]
+
+    # split: two samples from N(xyz, Sigma) with scales / 1.6
+    # (gaussian_model.py:494-521); clone: exact copies (:523-541)
+    from ..ops.projection import covariance_3d
+
+    eps = jax.random.normal(rng, (2, max_new, 3))
+    L = jnp.linalg.cholesky(
+        covariance_3d(rot, jnp.exp(logs))
+        + 1e-12 * jnp.eye(3, dtype=logs.dtype))
+    offs = jnp.einsum("nij,snj->sni", L, eps)          # (2, max_new, 3)
+    split_logs = logs - jnp.log(1.6)
+
+    row_a_xyz = jnp.where(is_split[:, None], xyz + offs[0], xyz)
+    row_a_logs = jnp.where(is_split[:, None], split_logs, logs)
+    row_b_xyz = xyz + offs[1]
+    row_b_ok = ok & is_split
+
+    def put(base, rows_a, rows_b, ok_a, ok_b):
+        slot_a = m.n + jnp.cumsum(ok_a.astype(jnp.int32)) - 1
+        n_a = jnp.sum(ok_a.astype(jnp.int32))
+        slot_b = m.n + n_a + jnp.cumsum(ok_b.astype(jnp.int32)) - 1
+        slot_a = jnp.where(ok_a & (slot_a < C), slot_a, C)
+        slot_b = jnp.where(ok_b & (slot_b < C), slot_b, C)
+        return (base.at[slot_a].set(rows_a, mode="drop")
+                .at[slot_b].set(rows_b, mode="drop"))
+
+    ok_a = ok
+    ok_b = row_b_ok
+    n_added = (jnp.sum(ok_a.astype(jnp.int32))
+               + jnp.sum(ok_b.astype(jnp.int32)))
+
+    new = m._replace(
+        xyz=put(m.xyz, row_a_xyz, row_b_xyz, ok_a, ok_b),
+        f_dc=put(m.f_dc, f_dc, f_dc, ok_a, ok_b),
+        f_rest=put(m.f_rest, f_rest, f_rest, ok_a, ok_b),
+        log_scaling=put(m.log_scaling, row_a_logs, split_logs, ok_a, ok_b),
+        rotation=put(m.rotation, rot, rot, ok_a, ok_b),
+        opacity_logit=put(m.opacity_logit, opl, opl, ok_a, ok_b),
+        trackable=put(m.trackable, trk, trk, ok_a, ok_b),
+        live=put(m.live, ok_a, ok_b, ok_a, ok_b),
+        n=jnp.minimum(m.n + n_added, C),
+    )
+    # split originals are pruned (the reference's prune_filter after split)
+    kill = jnp.zeros((C,), bool).at[
+        jnp.where(ok & is_split, order, C)].set(True, mode="drop")
+    return new._replace(live=new.live & ~kill)
+
+
 def compact(m: GaussianMap, extra_trees=()):
     """Squeeze dead slots out so the tail is free again.
 

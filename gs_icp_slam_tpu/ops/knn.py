@@ -79,6 +79,23 @@ def nn_search(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
     return best_i, best_d
 
 
+@partial(jax.jit, static_argnames=())
+def mean_sq_dist_3nn(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared distance of each point to its 3 nearest neighbors.
+
+    The simple-knn submodule's distCUDA2 (SURVEY §2.11: imported by
+    scene/gaussian_model.py:20 for vanilla-3DGS scale initialization;
+    the SLAM path replaces it with G-ICP covariance scales).  Provided
+    for offline/vanilla-3DGS compatibility.
+    """
+    idx, sqd = knn_search(points, points, valid, k=4)  # self + 3 NN
+    # the self-match (distance 0) sorts first; average the next three
+    d = jnp.where(jnp.isfinite(sqd[:, 1:4]) & (sqd[:, 1:4] < 1e37),
+                  sqd[:, 1:4], 0.0)
+    out = jnp.mean(d, axis=1)
+    return jnp.where(valid, out, 0.0)
+
+
 @partial(jax.jit, static_argnames=("k", "q_chunk"))
 def knn_search(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
                k: int = 20, q_chunk: int = 1024):

@@ -280,7 +280,7 @@ class FusedEngine:
             self.state = self.fused.refine(self.state)
 
     def run(self, eval_render: bool = True, eval_stride: int = 1,
-            progress: bool = False):
+            progress: bool = False, viewer=None):
         import numpy as np
         import time
 
@@ -295,12 +295,25 @@ class FusedEngine:
             f0.gt_c2w if f0.gt_c2w is not None else np.eye(4), np.float32)
         state = init_state(cfg, n, pose0, self.seed)
 
+        fps_cap = cfg.engine.fps_cap
         t0 = time.time()
         for i in range(n):
             fr = dataset[i]
             state = self.fused.step(state, jnp.asarray(fr.depth),
                                     to_chw(fr.rgb),
                                     jnp.bool_(i == n - 1))
+            if viewer is not None:
+                # pose of frame i: syncs the device (viewer mode trades FPS
+                # for live output, like the reference's rerun streaming)
+                pose_i = np.asarray(jax.device_get(state.poses[i]))
+                viewer.log_frame(i, pose_i, fr.rgb, fr.depth)
+            if fps_cap:
+                # throttle to fps_cap average (mp_Tracker.py:323-324);
+                # requires a host sync, so only bounds — not measures — FPS
+                target = t0 + (i + 1) / fps_cap
+                now = time.time()
+                if now < target:
+                    time.sleep(target - now)
             if progress and i % 50 == 0:
                 print(f"frame {i}/{n}")
         # force a real host sync (block_until_ready alone can return early
@@ -341,3 +354,60 @@ class FusedEngine:
             poses=poses, gt_poses=gt, ate_rmse=ate, fps=fps,
             num_gaussians=int(jax.device_get(state.gmap.num_live)),
             psnr=psnr_mean, per_frame_psnr=per_frame)
+
+    # -------------------------------------------------------------- extras
+    def evaluate(self, eval_stride: int = 1, poses=None,
+                 dump_dir=None):
+        """Full-sequence PSNR/SSIM/LPIPS at the final map and poses
+        (reference calc_2d_metric, mp_Mapper.py:335-420)."""
+        import numpy as np
+
+        from ..eval.image_metrics import evaluate_sequence
+        from ..utils.se3 import invert_se3
+
+        assert self.state is not None, "run() first"
+        state = self.state
+        params = map_params(state.gmap)
+        if poses is None:
+            poses = np.asarray(jax.device_get(state.poses), np.float64)
+
+        def render_frame(i):
+            fr = self.dataset[i]
+            w2c = invert_se3(jnp.asarray(poses[i], jnp.float32))
+            img, _ = self.fused.render_eval(params, state.gmap.live, w2c,
+                                            to_chw(fr.rgb),
+                                            jnp.asarray(fr.depth))
+            return img
+
+        return evaluate_sequence(render_frame, self.dataset,
+                                 len(self.dataset), stride=eval_stride,
+                                 depth_scale=self.cfg.intr.depth_scale,
+                                 dump_dir=dump_dir)
+
+    def save_ply(self, path: str) -> int:
+        """Export the live map in the 3DGS-ecosystem PLY layout
+        (gaussian_model.py:619-636)."""
+        import numpy as np
+
+        from ..io.ply import save_ply as _save
+
+        assert self.state is not None, "run() first"
+        m = self.state.gmap
+        live = np.asarray(jax.device_get(m.live))
+        return _save(path, jax.device_get(m.xyz), jax.device_get(m.f_dc),
+                     jax.device_get(m.f_rest),
+                     jax.device_get(m.opacity_logit),
+                     jax.device_get(m.log_scaling),
+                     jax.device_get(m.rotation), mask=live)
+
+    def save_checkpoint(self, path: str) -> None:
+        """Write the full fused SLAMState as a resumable npz."""
+        from ..io.checkpoint import save_fused_state
+
+        assert self.state is not None, "run() first"
+        save_fused_state(self.state, path)
+
+    def load_checkpoint(self, path: str) -> None:
+        from ..io.checkpoint import load_fused_state
+
+        self.state = load_fused_state(path)

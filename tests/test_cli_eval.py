@@ -1,0 +1,94 @@
+"""CLI end-to-end (run/render/eval subcommands), sequence metrics, LPIPS
+mechanics, and fused-state checkpoint roundtrip."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gs_icp_slam_tpu.cli import main as cli_main
+
+
+@pytest.fixture(scope="module")
+def run_out(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cliout")
+    rc = cli_main([
+        "run", "--dataset_type", "synthetic", "--frames", "10",
+        "--downsample_rate", "4", "--capacity", str(1 << 14),
+        "--mapping_iters_per_frame", "3", "--mapping_iters_final", "128",
+        "--unlimited", "--eval_stride", "4", "--save_results",
+        "--output_path", str(out),
+        "--checkpoint_path", str(out / "ckpt.npz"),
+    ])
+    assert rc == 0
+    return out
+
+
+def test_cli_run_outputs(run_out):
+    results = json.loads((run_out / "results.json").read_text())
+    assert results["fps"] > 0
+    assert results["ate_rmse_cm"] < 5.0
+    assert results["psnr"] > 15.0
+    assert results["ssim"] is not None
+    assert (run_out / "scene.ply").exists()
+    assert (run_out / "trajectory.npy").exists()
+    assert (run_out / "results.txt").exists()
+
+
+def test_cli_offline_render_and_eval(run_out, tmp_path):
+    traj = np.load(run_out / "trajectory.npy")
+    renders = tmp_path / "renders"
+    rc = cli_main([
+        "render", "--ply", str(run_out / "scene.ply"),
+        "--trajectory", str(run_out / "trajectory.npy"),
+        "--output_path", str(renders), "--width", "320", "--height", "240",
+        "--fx", "185.6", "--fy", "185.6", "--stride", "5",
+    ])
+    assert rc == 0
+    files = sorted(os.listdir(renders))
+    assert len(files) == len(range(0, len(traj), 5))
+
+    # eval renders against themselves -> PSNR huge, SSIM ~1
+    outj = tmp_path / "metrics.json"
+    rc = cli_main(["eval", "--renders", str(renders), "--gt", str(renders),
+                   "--output_json", str(outj)])
+    assert rc == 0
+    m = json.loads(outj.read_text())
+    assert m["mean"]["psnr"] > 60
+    assert m["mean"]["ssim"] > 0.999
+
+
+def test_fused_checkpoint_roundtrip(run_out):
+    from gs_icp_slam_tpu.io.checkpoint import load_fused_state
+
+    st = load_fused_state(str(run_out / "ckpt.npz"))
+    assert int(st.frame_idx) == 10
+    assert int(st.kf_count) >= 1
+    assert st.gmap.xyz.shape[0] == (1 << 14)
+
+
+def test_lpips_identity_and_sensitivity(tmp_path):
+    """LPIPS(x, x) == 0 for ANY weights; differing images score > 0."""
+    from gs_icp_slam_tpu.eval.lpips import lpips, make_random_weights
+
+    wpath = str(tmp_path / "lpips_test.npz")
+    make_random_weights(wpath)
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(3, 64, 64)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.2, a.shape).astype(np.float32), 0, 1)
+    import jax.numpy as jnp
+    d_same = float(lpips(jnp.asarray(a), jnp.asarray(a), weights=wpath)[0])
+    d_diff = float(lpips(jnp.asarray(a), jnp.asarray(b), weights=wpath)[0])
+    assert abs(d_same) < 1e-6
+    assert d_diff > d_same
+
+
+def test_lpips_unavailable_raises(monkeypatch):
+    from gs_icp_slam_tpu.eval import lpips as L
+
+    monkeypatch.delenv("GS_LPIPS_WEIGHTS", raising=False)
+    monkeypatch.setattr(L, "default_weights_path", lambda: None)
+    import jax.numpy as jnp
+    x = jnp.zeros((3, 32, 32))
+    with pytest.raises(FileNotFoundError):
+        L.lpips(x, x)
