@@ -31,9 +31,9 @@ def save_fused_state(state, path: str) -> None:
     arrays["adam.step"] = np.asarray(state.adam.step)
     for f in state.target._fields:
         arrays[f"target.{f}"] = np.asarray(getattr(state.target, f))
-    for f in ("poses", "frame_idx", "kf_w2c", "kf_rgb", "kf_depth",
-              "kf_count", "new_kf", "from_last_kf", "train_iter", "rng",
-              "last_ratio"):
+    for f in state._fields:
+        if f in ("gmap", "adam", "target"):
+            continue
         arrays[f"s.{f}"] = np.asarray(getattr(state, f))
     np.savez_compressed(path, **arrays)
 
@@ -54,10 +54,15 @@ def load_fused_state(path: str):
         step=jnp.asarray(z["adam.step"]))
     target = GICPTarget(**{f: jnp.asarray(z[f"target.{f}"])
                            for f in GICPTarget._fields})
-    rest = {f: jnp.asarray(z[f"s.{f}"])
-            for f in ("poses", "frame_idx", "kf_w2c", "kf_rgb", "kf_depth",
-                      "kf_count", "new_kf", "from_last_kf", "train_iter",
-                      "rng", "last_ratio")}
+    rest = {}
+    for f in SLAMState._fields:
+        if f in ("gmap", "adam", "target"):
+            continue
+        key = f"s.{f}"
+        if key in z.files:
+            rest[f] = jnp.asarray(z[key])
+        else:  # field added after the checkpoint was written: zero default
+            rest[f] = jnp.int32(0)
     # PRNG keys restore as uint32 arrays
     rest["rng"] = jnp.asarray(np.asarray(z["s.rng"], np.uint32))
     return SLAMState(gmap=gmap, adam=adam, target=target, **rest)

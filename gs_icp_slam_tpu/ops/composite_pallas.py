@@ -12,11 +12,13 @@ HBM bandwidth for every cumprod pass; here the whole tile lives in VMEM:
     attribute block.
   * transmittance cumprod = exp(Hillis-Steele cumsum of log1p(-alpha))
     via pltpu.roll — log2(K) VPU passes, no HBM traffic.
-  * custom VJP with full recompute: residual = packed attrs only; the
-    backward derives dL/dalpha with a suffix-sum (the CUDA kernel's
-    back-to-front accumulator, done as cumsum) and needs no atomics —
-    per-splat sums are lane reductions, and the scatter back to the
-    compacted splat array is JAX autodiff of the gather outside.
+  * custom VJP: the dense variant recomputes the forward in-kernel
+    (residual = packed attrs only); the dynamic variant checkpoints each
+    block's entry transmittance in the forward and runs ONE reverse sweep
+    (the CUDA kernel's back-to-front gradient walk) — no second forward
+    recompute.  dL/dalpha uses a suffix-sum, no atomics — per-splat sums
+    are lane reductions, and the scatter back to the compacted splat
+    array is JAX autodiff of the gather outside.
 
 Packed layouts (P = tile*tile pixels, K = per-tile splat capacity):
   attrs (T, 16, K) f32, rows: 0 mx, 1 my, 2 conic_a, 3 conic_b,
@@ -242,8 +244,8 @@ def _block_geometry(blk, px, py, tacc):
             tacc_out)
 
 
-def _fwd_kernel_dyn(counts_ref, attrs_ref, out_ref, aT_ref, *, ntx: int,
-                    tile_px: int, P: int, K: int):
+def _fwd_kernel_dyn(counts_ref, attrs_ref, out_ref, taccs_ref, aT_ref, *,
+                    ntx: int, tile_px: int, P: int, K: int):
     t = pl.program_id(0)
     count = counts_ref[t]
     nb = (count + _BKD - 1) // _BKD
@@ -262,6 +264,9 @@ def _fwd_kernel_dyn(counts_ref, attrs_ref, out_ref, aT_ref, *, ntx: int,
 
     def body(i, carry):
         tacc, cr, cg, cb_, cd, tf = carry
+        # checkpoint the block-entry transmittance: the backward kernel
+        # reads it to run ONE reverse pass instead of two forward passes
+        taccs_ref[0, pl.ds(i, 1), :] = tacc
         blk = _load_block(aT_ref, i)
         (_, _, _, _, _, _, t_next, _, inc, w, tacc_out) = _block_geometry(
             blk, px, py, tacc)
@@ -281,8 +286,13 @@ def _fwd_kernel_dyn(counts_ref, attrs_ref, out_ref, aT_ref, *, ntx: int,
     out_ref[0] = jnp.concatenate([cr, cg, cb_, cd, tf, pad], axis=0)
 
 
-def _bwd_kernel_dyn(counts_ref, attrs_ref, g_ref, dattrs_ref, aT_ref,
-                    daT_ref, *, ntx: int, tile_px: int, P: int, K: int):
+def _bwd_kernel_dyn(counts_ref, attrs_ref, taccs_ref, out_ref, g_ref,
+                    dattrs_ref, aT_ref, daT_ref, *, ntx: int, tile_px: int,
+                    P: int, K: int):
+    """ONE reverse pass over the splat blocks (the CUDA kernel's
+    back-to-front gradient walk): block-entry transmittances come from the
+    forward's checkpoints, the final transmittance from the forward output,
+    and the suffix sum S_k accumulates naturally in reverse order."""
     t = pl.program_id(0)
     count = counts_ref[t]
     nb = (count + _BKD - 1) // _BKD
@@ -302,40 +312,23 @@ def _bwd_kernel_dyn(counts_ref, attrs_ref, g_ref, dattrs_ref, aT_ref,
     gmat = g_ref[0]                                # (8, P)
     g4 = gmat[0:4, :]
     gtf = gmat[4:5, :]
-
-    # pass A: recompute forward for total c-sum and final transmittance
-    def body_a(i, carry):
-        tacc, csum_tot, tf = carry
-        blk = _load_block(aT_ref, i)
-        (_, _, _, _, _, _, t_next, _, inc, w, tacc_out) = _block_geometry(
-            blk, px, py, tacc)
-        a4 = jnp.concatenate([blk[:, 5:8], blk[:, 9:10]], axis=1)  # (BKD, 4)
-        dLdw = jax.lax.dot_general(a4, g4, _CONTRACT_STD,
-                                   preferred_element_type=jnp.float32)
-        csum_tot = csum_tot + jnp.sum(w * dLdw, axis=0, keepdims=True)
-        tf = jnp.minimum(tf, jnp.min(jnp.where(inc > 0.0, t_next, 3.4e38),
-                                     axis=0, keepdims=True))
-        return tacc_out, csum_tot, tf
-
-    zero = jnp.zeros((1, P), jnp.float32)
-    one = jnp.ones((1, P), jnp.float32)
-    _, c_total, tf = jax.lax.fori_loop(0, nb, body_a, (one, zero, one))
+    tf = out_ref[0][4:5, :]                        # (1, P) from forward
 
     daT_ref[...] = jnp.zeros((K, 16), jnp.float32)
 
-    # pass B: forward again, emitting per-splat gradients with the global
-    # suffix sum S_k = c_total - prefix_incl_k
-    def body_b(i, carry):
-        tacc, prefix = carry
+    def body(ir, suffix):
+        i = nb - 1 - ir
+        tacc = taccs_ref[0, pl.ds(i, 1), :]        # block-entry T
         blk = _load_block(aT_ref, i)
         (dx, dy, power, araw, gate, alpha, t_next, t_before, inc, w,
-         tacc_out) = _block_geometry(blk, px, py, tacc)
+         _) = _block_geometry(blk, px, py, tacc)
         a4 = jnp.concatenate([blk[:, 5:8], blk[:, 9:10]], axis=1)
         dLdw = jax.lax.dot_general(a4, g4, _CONTRACT_STD,
                                    preferred_element_type=jnp.float32)
         c = w * dLdw
-        prefix_incl = prefix + _cumsum_sublanes(c)
-        S = c_total - prefix_incl
+        block_total = jnp.sum(c, axis=0, keepdims=True)
+        # S_k = sum_{j>k} c_j = (within-block suffix) + (later blocks)
+        S = (block_total - _cumsum_sublanes(c)) + suffix
         o = 1.0 - alpha
         dalpha = inc * t_before * dLdw - (S + inc * (gtf * tf)) / o
 
@@ -360,9 +353,9 @@ def _bwd_kernel_dyn(counts_ref, attrs_ref, g_ref, dattrs_ref, aT_ref,
             [dmx, dmy, dca, dcb, dcc, dr, dg, db, dop, ddep,
              jnp.zeros((_BKD, 6), jnp.float32)], axis=1)     # (BKD, 16)
         daT_ref[pl.ds(i * _BKD, _BKD), :] = dblk
-        return tacc_out, prefix_incl[_BKD - 1:_BKD, :]
+        return suffix + block_total
 
-    jax.lax.fori_loop(0, nb, body_b, (one, zero))
+    jax.lax.fori_loop(0, nb, body, jnp.zeros((1, P), jnp.float32))
 
     daT = daT_ref[...]
     dattrs_ref[0] = jax.lax.dot_general(
@@ -376,25 +369,33 @@ def make_composite_dyn(T: int, ntx: int, tile_px: int, K: int,
     -> (T,8,P).  Splats past counts[t] are ignored and get zero gradient;
     counts must be pre-clamped to [0, K]."""
     P = tile_px * tile_px
+    NB = K // _BKD  # block-entry transmittance checkpoints per tile
     grid_fwd = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[pl.BlockSpec((1, 16, K), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, P), lambda t, c: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[pl.BlockSpec((1, 8, P), lambda t, c: (t, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, NB, P), lambda t, c: (t, 0, 0),
+                                memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((K, 16), jnp.float32)],
     )
     fwd_call = pl.pallas_call(
         partial(_fwd_kernel_dyn, ntx=ntx, tile_px=tile_px, P=P, K=K),
         grid_spec=grid_fwd,
-        out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
+                   jax.ShapeDtypeStruct((T, NB, P), jnp.float32)],
         interpret=interpret,
     )
     grid_bwd = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[pl.BlockSpec((1, 16, K), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, NB, P), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, P), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 8, P), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -412,14 +413,16 @@ def make_composite_dyn(T: int, ntx: int, tile_px: int, K: int,
 
     @jax.custom_vjp
     def composite(counts, attrs):
-        return fwd_call(counts, attrs)
+        out, _ = fwd_call(counts, attrs)
+        return out
 
     def composite_fwd(counts, attrs):
-        return fwd_call(counts, attrs), (counts, attrs)
+        out, taccs = fwd_call(counts, attrs)
+        return out, (counts, attrs, taccs, out)
 
     def composite_bwd(res, g):
-        counts, attrs = res
-        return None, bwd_call(counts, attrs, g)
+        counts, attrs, taccs, out = res
+        return None, bwd_call(counts, attrs, taccs, out, g)
 
     composite.defvjp(composite_fwd, composite_bwd)
     return composite

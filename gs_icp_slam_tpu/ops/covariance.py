@@ -21,22 +21,37 @@ from .eigh3 import eigh3x3
 
 
 def estimate_covariances(points: jnp.ndarray, neighbor_idx: jnp.ndarray,
-                         valid: jnp.ndarray):
+                         valid: jnp.ndarray,
+                         neighbor_sqd: jnp.ndarray | None = None,
+                         max_dist: float | None = None):
     """Sample covariance of each point's k neighbors.
 
     Args:
       points: (N, 3).
       neighbor_idx: (N, k) indices into points (self included).
       valid: (N,) bool — invalid points yield identity covariance.
+      neighbor_sqd: (N, k) squared neighbor distances; with `max_dist` set,
+        neighbors beyond it are excluded from the covariance — fast_gicp's
+        `set_max_knn_distance` (mp_Tracker.py:110 / gs_icp_slam.py:236).
+      max_dist: kNN distance cap (LINEAR units, squared internally); None
+        or >= ~1e4 disables the gate (the reference default is 99999).
     Returns:
-      cov: (N, 3, 3) raw covariances (biased, divided by k — matching
-           fast_gicp's normalization).
+      cov: (N, 3, 3) raw covariances (biased, divided by the neighbor
+           count — matching fast_gicp's normalization).
     """
     nbrs = points[neighbor_idx]  # (N, k, 3)
-    mean = jnp.mean(nbrs, axis=1, keepdims=True)
-    centered = nbrs - mean
     k = neighbor_idx.shape[1]
-    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
+    if max_dist is not None and max_dist < 1e4 and neighbor_sqd is not None:
+        keep = (neighbor_sqd <= max_dist * max_dist)[..., None]  # (N, k, 1)
+        cnt = jnp.maximum(jnp.sum(keep, axis=1), 1).astype(points.dtype)
+        mean = jnp.sum(jnp.where(keep, nbrs, 0.0), axis=1,
+                       keepdims=True) / cnt[:, None]
+        centered = jnp.where(keep, nbrs - mean, 0.0)
+        cov = jnp.einsum("nki,nkj->nij", centered, centered) / cnt[..., None]
+    else:
+        mean = jnp.mean(nbrs, axis=1, keepdims=True)
+        centered = nbrs - mean
+        cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
     eye = jnp.eye(3, dtype=points.dtype)
     return jnp.where(valid[:, None, None], cov, eye)
 

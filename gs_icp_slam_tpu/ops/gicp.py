@@ -116,8 +116,9 @@ def make_source(points: jnp.ndarray, valid: jnp.ndarray,
     """
     if trackable is None:
         trackable = valid
-    idx, _ = knn_search(points, points, valid, k=cfg.k_neighbors)
-    cov_raw = estimate_covariances(points, idx, valid)
+    idx, sqd = knn_search(points, points, valid, k=cfg.k_neighbors)
+    cov_raw = estimate_covariances(points, idx, valid, neighbor_sqd=sqd,
+                                   max_dist=cfg.knn_max_distance)
     quat, scales = cov_to_quat_scale(cov_raw)
     cov_reg = regularize_plane(cov_raw, cfg.plane_eps)
     return GICPSource(points=points, cov6=_cov_mat_to6(cov_reg), quat=quat,
@@ -131,8 +132,9 @@ def target_from_points(points: jnp.ndarray, valid: jnp.ndarray,
     (quat, scale) pairs used to seed the first gaussians.
 
     (mp_Tracker.py:157-169)."""
-    idx, _ = knn_search(points, points, valid, k=cfg.k_neighbors)
-    cov_raw = estimate_covariances(points, idx, valid)
+    idx, sqd = knn_search(points, points, valid, k=cfg.k_neighbors)
+    cov_raw = estimate_covariances(points, idx, valid, neighbor_sqd=sqd,
+                                   max_dist=cfg.knn_max_distance)
     quat, scales = cov_to_quat_scale(cov_raw)
     cov_reg = regularize_plane(cov_raw, cfg.plane_eps)
     target = _build_target(points, _cov_mat_to6(cov_reg), valid, capacity)

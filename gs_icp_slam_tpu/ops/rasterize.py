@@ -55,6 +55,10 @@ class RasterOut(NamedTuple):
                                     # reference consumer: SURVEY §2.6 returns
                                     # it but nothing reads it)
     t_final: jnp.ndarray  # (H, W) final transmittance
+    stats: jnp.ndarray    # (3,) int32 [n_visible, vis_cap_dropped,
+                          # tile_cap_dropped] — static-cap overflow
+                          # observability (caps degrade quality silently;
+                          # these make the loss measurable)
 
 
 @partial(jax.jit, static_argnames=(
@@ -86,65 +90,71 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
         width, height, live)
 
     # ---- compact up to V visible splats, FRONT-MOST FIRST ------------------
-    # Two stages: an order-free cumsum compaction N -> V (cheap), then a
-    # depth argsort of just the V compacted slots.  Depth-ordering the
-    # compacted splats lets the pair binning below use a single-key STABLE
-    # int32 sort (measured 10x faster on TPU than the (tile, depth) 2-key
-    # sort).  On cap overflow stage 1 keeps the lowest-index V visibles
-    # (quality-only degradation, like the CUDA kernel's buffer caps).
-    vis = visible
-    vcount = jnp.sum(vis.astype(jnp.int32))
-    pos = jnp.cumsum(vis.astype(jnp.int32)) - 1
-    slot = jnp.where(vis & (pos < V), pos, V)
-    cidx = jnp.zeros((V,), jnp.int32).at[slot].set(
-        jnp.arange(N, dtype=jnp.int32), mode="drop")
+    # ONE sort over all N with key = (depth if visible else +inf): the first
+    # V output slots are the front-most visible splats in depth order.  This
+    # replaces a cumsum compaction + scatter + second sort (measured ~3x
+    # slower combined) and makes visible-cap overflow drop the FARTHEST
+    # splats — the least-visible ones — instead of arbitrary indices.
+    vcount = jnp.sum(visible.astype(jnp.int32))
+    depth_key = jnp.where(visible, attr[9], jnp.inf)
+    _, order_full = jax.lax.sort(
+        (depth_key, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
+    vis_order = order_full[:V]                      # (V,) indices into N
     vslot = jnp.arange(V, dtype=jnp.int32)
     vok = vslot < jnp.minimum(vcount, V)
 
-    cdepth = jnp.where(vok, attr[9, cidx], jnp.inf)
-    _, vis_order = jax.lax.sort((cdepth, cidx), num_keys=1)
+    # only the pair build needs per-splat screen data at V: two lane rows
+    # + the radius (the full (10, V) gather is skipped — the composite
+    # gather below indexes the original attr directly)
+    mx = attr[0, vis_order]
+    my = attr[1, vis_order]
+    radius = jnp.where(vok, radius_i[vis_order], 0).astype(jnp.float32)
 
-    attr_c = attr[:, vis_order]                     # (10, V) ONE lane gather
-    # invalid tail slots alias splat 0 (cidx init) — zero their opacity
-    attr_c = attr_c.at[8].set(jnp.where(vok, attr_c[8], 0.0))
-    mx, my = attr_c[0], attr_c[1]
-    radius = radius_i[vis_order].astype(jnp.float32)
-
-    # ---- build (V, D*D) tile pairs ---------------------------------------
-    # full tile rect (CUDA getRect), then a centered clamp to D x D
+    # ---- build (D*D, V) tile pairs, CHANNEL-FIRST --------------------------
+    # (V, D, D) layouts pad their trailing dims to the (8, 128) TPU tile —
+    # a 38x HBM blowup measured at ~11 ms; (D*D, V) rows are dense.
     tx0, ty0, tx1, ty1 = tile_rect(mx, my, radius, ntx, nty, tile, D)
+    dd = jnp.arange(D * D, dtype=jnp.float32)
+    gx = tx0[None, :] + (dd % D)[:, None]           # (D*D, V)
+    gy = ty0[None, :] + (dd // D)[:, None]
+    pair_ok = (gx <= tx1[None, :]) & (gy <= ty1[None, :]) & vok[None, :]
+    pair_tile = (gy * ntx + gx).astype(jnp.int32)
 
-    dxy = jnp.arange(D, dtype=jnp.float32)
-    gx = tx0[:, None, None] + dxy[None, None, :]  # (V, 1, D)
-    gy = ty0[:, None, None] + dxy[None, :, None]  # (V, D, 1)
-    pair_ok = ((gx <= tx1[:, None, None]) & (gy <= ty1[:, None, None])
-               & vok[:, None, None])
-    pair_tile = (gy * ntx + gx).astype(jnp.int32)  # (V, D, D) broadcast
-
-    # ---- sort pairs by tile and build per-tile lists -----------------------
-    # Splats are already depth-ordered and pairs are enumerated splat-major,
-    # so a STABLE sort on the tile id alone leaves every tile's run in
-    # front-to-back order — the exact CUDA (tile, depth) ordering at single-
-    # key cost, with no depth-quantization ties.
-    SENTINEL = jnp.int32(2 ** 30)
-    key_tile = jnp.where(pair_ok, pair_tile, SENTINEL).reshape(-1)
-    val = jnp.broadcast_to(vslot[:, None, None], pair_tile.shape).reshape(-1)
-    tile_s, val_s = jax.lax.sort((key_tile, val), num_keys=1, is_stable=True)
+    # ---- composite sort key: (tile << S) | compacted slot ------------------
+    # Slots are depth-ranked, so ONE non-stable single-operand int32 sort
+    # yields tiles in front-to-back order — the CUDA kernel's 64-bit
+    # (tile, depth) radix sort collapsed into 31 bits, with no value
+    # operand and no stable-sort overhead.
+    S = max(V - 1, 1).bit_length()
+    assert (T << S) < 2 ** 31, (
+        f"tile/slot key overflow: T={T}, V={V}; lower visible_cap or use "
+        f"larger tiles")
+    SENTINEL = jnp.int32(2 ** 31 - 1)
+    keys = jnp.where(pair_ok, (pair_tile << S) | vslot[None, :],
+                     SENTINEL).reshape(-1)
+    key_s = jax.lax.sort(keys)
 
     # tile t's run is [start[t], start[t+1]); gather beats scatter on TPU
-    start = jnp.searchsorted(tile_s, jnp.arange(T + 1, dtype=jnp.int32),
-                             method="scan_unrolled").astype(jnp.int32)
-    counts = jnp.minimum(start[1:] - start[:-1], K)               # (T,)
+    start = jnp.searchsorted(
+        key_s, (jnp.arange(T + 1, dtype=jnp.int32) << S),
+        method="scan_unrolled").astype(jnp.int32)
+    run = start[1:] - start[:-1]                                  # (T,)
+    counts = jnp.minimum(run, K)
+    pair_dropped = jnp.sum(run - counts)
     start = start[:-1]
     gpos = jnp.minimum(start[:, None] + jnp.arange(K, dtype=jnp.int32)[None],
-                       tile_s.shape[0] - 1)
-    hit = tile_s[gpos] == jnp.arange(T, dtype=jnp.int32)[:, None]
-    tile_list = jnp.where(hit, val_s[gpos], V)                     # (T, K)
+                       key_s.shape[0] - 1)
+    hit = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+    tile_list = jnp.where(hit, key_s[gpos] & ((1 << S) - 1), V)    # (T, K)
 
     # ---- composite --------------------------------------------------------
-    attr_p = jnp.pad(attr_c, ((0, 0), (0, 1)))     # zero splat at index V
-    attrs = attr_p[:, tile_list]                   # (10, T, K) lane gather
-    attrs = jnp.swapaxes(attrs, 0, 1)              # (T, 10, K)
+    # one composed gather: tile_list -> compacted slot -> original splat row
+    vis_order_p = jnp.concatenate(
+        [vis_order, jnp.full((1,), N, jnp.int32)])   # slot V -> row N (pad)
+    full_list = vis_order_p[tile_list]               # (T, K) int32
+    attr_p = jnp.pad(attr, ((0, 0), (0, 1)))         # zero splat at index N
+    attrs = attr_p[:, full_list]                     # (10, T, K) lane gather
+    attrs = jnp.swapaxes(attrs, 0, 1)                # (T, 10, K)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -233,5 +243,6 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
         # them out of bounds so they can't clobber splat 0's flag
         is_used = jnp.zeros((N,), bool).at[
             jnp.where(vok, vis_order, N)].set(used_v, mode="drop")
+    stats = jnp.stack([vcount, jnp.maximum(vcount - V, 0), pair_dropped])
     return RasterOut(color=color, depth=depth_img, radii=radius_i,
-                     is_used=is_used, t_final=t_final)
+                     is_used=is_used, t_final=t_final, stats=stats)

@@ -57,6 +57,12 @@ class SLAMResult:
     num_gaussians: int
     psnr: Optional[float] = None
     per_frame_psnr: Optional[np.ndarray] = None
+    # static-cap overflow observability (VERDICT r1 #4): zero = no quality
+    # was silently dropped by a cap during the run
+    kf_total: int = 0            # keyframes ever selected
+    kf_stored: int = 0           # keyframe slots in use (< total => evicted)
+    vis_cap_dropped: int = 0     # max per-view visible-cap overflow
+    tile_cap_dropped: int = 0    # max per-view tile-list overflow (pairs)
 
 
 class SLAMEngine:
@@ -83,6 +89,7 @@ class SLAMEngine:
         self.kf_depth = np.zeros((kf_cap, intr.height, intr.width),
                                  np.float32)
         self.kf_count = 0
+        self.kf_total = 0
         self.new_keyframes: List[int] = []
 
         self.poses: List[np.ndarray] = []
@@ -197,13 +204,13 @@ class SLAMEngine:
                     lambda_dssim=cfg.opt.lambda_dssim,
                     depth_weight=cfg.opt.depth_loss_weight,
                     d_max=cfg.opt.depth_d_max)
-                return loss, aux
+                return loss, out.stats
 
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             params, adam = adam_step(params, grads, adam, self.lrs, live,
                                      b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2,
                                      eps=cfg.opt.adam_eps)
-            return params, adam, loss
+            return params, adam, loss, stats
 
         self._opt_step = opt_step
 
@@ -231,13 +238,20 @@ class SLAMEngine:
 
     # ------------------------------------------------------------------
     def _store_keyframe(self, frame, w2c: np.ndarray):
-        if self.kf_count >= self.kf_w2c.shape[0]:
-            return  # keyframe store saturated; training continues on old set
-        i = self.kf_count
+        # reservoir eviction once full (see fused.store_keyframe): keeps the
+        # stored set a uniform sample of all keyframes ever selected
+        kc = self.kf_w2c.shape[0]
+        if self.kf_count >= kc:
+            i = int(self.rng.integers(kc))
+            if i in self.new_keyframes:
+                self.new_keyframes.remove(i)
+        else:
+            i = self.kf_count
+            self.kf_count += 1
         self.kf_w2c[i] = w2c
         self.kf_rgb[i] = frame.rgb.transpose(2, 0, 1)
         self.kf_depth[i] = frame.depth
-        self.kf_count += 1
+        self.kf_total += 1
         self.new_keyframes.append(i)
 
     def _mapping_iterations(self, n_iters: int):
@@ -253,10 +267,11 @@ class SLAMEngine:
             if self.train_iter % self.cfg.map.prune_interval == 0:
                 self.gmap = with_params(self.gmap, params)
                 self.gmap = self._prune(self.gmap)
-            params, self.adam, _ = self._opt_step(
+            params, self.adam, _, stats = self._opt_step(
                 params, self.adam, self.gmap.live,
                 jnp.asarray(self.kf_w2c[i]), jnp.asarray(self.kf_rgb[i]),
                 jnp.asarray(self.kf_depth[i]))
+            self._last_stats = stats
         self.gmap = with_params(self.gmap, params)
 
     # ------------------------------------------------------------------
@@ -363,4 +378,5 @@ class SLAMEngine:
 
         return SLAMResult(poses=poses, gt_poses=gt, ate_rmse=ate, fps=fps,
                           num_gaussians=int(self.gmap.num_live),
-                          psnr=psnr_mean, per_frame_psnr=per_frame)
+                          psnr=psnr_mean, per_frame_psnr=per_frame,
+                          kf_total=self.kf_total, kf_stored=self.kf_count)

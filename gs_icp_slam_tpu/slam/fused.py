@@ -93,13 +93,14 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
                                    lambda_dssim=cfg.opt.lambda_dssim,
                                    depth_weight=cfg.opt.depth_loss_weight,
                                    d_max=cfg.opt.depth_d_max)
-            return loss
+            return loss, out.stats
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
         params, adam = adam_step(params, grads, adam, lrs, live,
                                  b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2,
                                  eps=cfg.opt.adam_eps)
-        return params, adam, loss
+        return params, adam, loss, stats
 
     def mapping_iters(state, n_iters: int):
         gmap, adam = state.gmap, state.adam
@@ -107,6 +108,7 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
         rng = state.rng
         new_kf = state.new_kf
         train_iter = state.train_iter
+        vis_drop, pair_drop = state.stat_vis_dropped, state.stat_pair_dropped
         for it in range(n_iters):
             rng, sub = jax.random.split(rng)
             rand_idx = jax.random.randint(sub, (), 0,
@@ -126,27 +128,45 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
             w2c = state.kf_w2c[idx]
             rgb = state.kf_rgb[idx]
             depth = state.kf_depth[idx]
-            has_kf = state.kf_count > 0
-            params, adam, _ = jax.tree.map(
-                lambda new, old: jnp.where(has_kf, new, old),
-                opt_step(params, adam, gmap.live, w2c, rgb, depth),
-                (params, adam, jnp.float32(0)))
+            # frame 0 has no stored keyframe yet: skip the whole render +
+            # backward instead of computing and discarding it
+            params, adam, _, stats = jax.lax.cond(
+                state.kf_count > 0,
+                lambda p, a: opt_step(p, a, gmap.live, w2c, rgb, depth),
+                lambda p, a: (p, a, jnp.float32(0),
+                              jnp.zeros((3,), jnp.int32)),
+                params, adam)
+            vis_drop = jnp.maximum(vis_drop, stats[1])
+            pair_drop = jnp.maximum(pair_drop, stats[2])
         gmap = with_params(gmap, params)
         return state._replace(gmap=gmap, adam=adam, rng=rng,
-                              new_kf=jnp.int32(-1), train_iter=train_iter)
+                              new_kf=jnp.int32(-1), train_iter=train_iter,
+                              stat_vis_dropped=vis_drop,
+                              stat_pair_dropped=pair_drop)
 
     # ---------------- keyframe insertion ----------------
     def store_keyframe(state, w2c, rgb_u8, depth_raw, do_store):
-        slot = jnp.where(do_store & (state.kf_count < state.kf_w2c.shape[0]),
-                         state.kf_count, state.kf_w2c.shape[0])
+        """Store a keyframe; once the store is full, EVICT a uniformly
+        random old slot (reservoir-style).  The reference keeps every
+        keyframe and the mapper samples uniformly from them
+        (mp_Mapper.py:174-206); a uniform-eviction reservoir keeps the
+        stored set an (approximately) uniform sample of the full history,
+        so the mapper's sampling distribution matches at bounded memory.
+        kf_total > kf_count signals that eviction has happened."""
+        kc = state.kf_w2c.shape[0]
+        rng, sub = jax.random.split(state.rng)
+        victim = jax.random.randint(sub, (), 0, kc)
+        slot_in = jnp.where(state.kf_count < kc, state.kf_count, victim)
+        slot = jnp.where(do_store, slot_in, kc)
         kf_w2c = state.kf_w2c.at[slot].set(w2c, mode="drop")
         kf_rgb = state.kf_rgb.at[slot].set(rgb_u8, mode="drop")
         kf_depth = state.kf_depth.at[slot].set(depth_raw, mode="drop")
-        stored = do_store & (slot < state.kf_w2c.shape[0])
+        stored = do_store.astype(jnp.int32)
         return state._replace(
-            kf_w2c=kf_w2c, kf_rgb=kf_rgb, kf_depth=kf_depth,
-            kf_count=state.kf_count + stored.astype(jnp.int32),
-            new_kf=jnp.where(stored, state.kf_count, state.new_kf))
+            kf_w2c=kf_w2c, kf_rgb=kf_rgb, kf_depth=kf_depth, rng=rng,
+            kf_count=jnp.minimum(state.kf_count + stored, kc),
+            kf_total=state.kf_total + stored,
+            new_kf=jnp.where(do_store, slot_in, state.new_kf))
 
     def export_target(gmap):
         pts, rots, scales, valid = trackable_export(
@@ -353,7 +373,11 @@ class FusedEngine:
         return SLAMResult(
             poses=poses, gt_poses=gt, ate_rmse=ate, fps=fps,
             num_gaussians=int(jax.device_get(state.gmap.num_live)),
-            psnr=psnr_mean, per_frame_psnr=per_frame)
+            psnr=psnr_mean, per_frame_psnr=per_frame,
+            kf_total=int(jax.device_get(state.kf_total)),
+            kf_stored=int(jax.device_get(state.kf_count)),
+            vis_cap_dropped=int(jax.device_get(state.stat_vis_dropped)),
+            tile_cap_dropped=int(jax.device_get(state.stat_pair_dropped)))
 
     # -------------------------------------------------------------- extras
     def evaluate(self, eval_stride: int = 1, poses=None,

@@ -31,12 +31,19 @@ class SLAMState(NamedTuple):
                                  # a trailing dim of 3 would be padded to
                                  # the 128-lane TPU tile (42x HBM blowup)
     kf_depth: jnp.ndarray        # (Kc, H, W) float32 raw units
-    kf_count: jnp.ndarray        # () int32
+    kf_count: jnp.ndarray        # () int32 — occupied keyframe slots
+    kf_total: jnp.ndarray        # () int32 — keyframes EVER selected; when
+                                 # > kf_count the store has evicted (the
+                                 # reference keeps every keyframe,
+                                 # mp_Mapper.py:174-179; we hold a uniform
+                                 # reservoir sample of the same set)
     new_kf: jnp.ndarray          # () int32 — pending new keyframe idx or -1
     from_last_kf: jnp.ndarray    # () int32
     train_iter: jnp.ndarray      # () int32
     rng: jnp.ndarray             # PRNG key
     last_ratio: jnp.ndarray      # () float32 — overlap ratio (diagnostics)
+    stat_vis_dropped: jnp.ndarray   # () int32 — max visible-cap overflow seen
+    stat_pair_dropped: jnp.ndarray  # () int32 — max tile-cap overflow seen
 
 
 def init_state(cfg, num_frames: int, pose0: np.ndarray,
@@ -56,9 +63,12 @@ def init_state(cfg, num_frames: int, pose0: np.ndarray,
         kf_rgb=jnp.zeros((kc, 3, intr.height, intr.width), jnp.uint8),
         kf_depth=jnp.zeros((kc, intr.height, intr.width), jnp.float32),
         kf_count=jnp.int32(0),
+        kf_total=jnp.int32(0),
         new_kf=jnp.int32(-1),
         from_last_kf=jnp.int32(0),
         train_iter=jnp.int32(0),
         rng=jax.random.PRNGKey(seed),
         last_ratio=jnp.float32(1.0),
+        stat_vis_dropped=jnp.int32(0),
+        stat_pair_dropped=jnp.int32(0),
     )

@@ -84,7 +84,10 @@ def test_lpips_identity_and_sensitivity(tmp_path):
 
 
 def test_lpips_unavailable_raises(monkeypatch):
-    from gs_icp_slam_tpu.eval import lpips as L
+    # the MODULE, not the re-exported function shadowing it in eval.__init__
+    import importlib
+
+    L = importlib.import_module("gs_icp_slam_tpu.eval.lpips")
 
     monkeypatch.delenv("GS_LPIPS_WEIGHTS", raising=False)
     monkeypatch.setattr(L, "default_weights_path", lambda: None)

@@ -134,6 +134,27 @@ class TestCovariance:
         assert np.all(vals[:, 0] < 1e-6)
         assert np.all(vals[:, 2] > 1e-4)
 
+    def test_knn_max_distance_gates_covariance(self):
+        # two clusters 10 apart; with a tight distance cap, the far cluster
+        # must not enter the near points' covariances (mp_Tracker.py:110)
+        rng = np.random.default_rng(11)
+        near = rng.normal(0, 0.01, (10, 3)).astype(np.float32)
+        far = (rng.normal(0, 0.01, (10, 3)) + 10.0).astype(np.float32)
+        pts = jnp.asarray(np.concatenate([near, far]))
+        valid = jnp.ones(20, bool)
+        idx, sqd = knn_search(pts, pts, valid, k=20)  # all points neighbors
+        cov_uncapped = np.asarray(estimate_covariances(
+            pts, idx, valid, neighbor_sqd=sqd, max_dist=99999.0))
+        cov_capped = np.asarray(estimate_covariances(
+            pts, idx, valid, neighbor_sqd=sqd, max_dist=1.0))
+        # uncapped: inter-cluster spread dominates (variance ~ 25)
+        assert np.trace(cov_uncapped[0]) > 10.0
+        # capped: only the local cluster (variance ~ 1e-4)
+        assert np.trace(cov_capped[0]) < 1e-2
+        # default (None) == uncapped
+        cov_none = np.asarray(estimate_covariances(pts, idx, valid))
+        np.testing.assert_allclose(cov_none, cov_uncapped, atol=1e-6)
+
     def test_regularize_plane_eigenvalues(self):
         C = random_spd(32, seed=5)
         reg = regularize_plane(jnp.asarray(C), eps=1e-3)
