@@ -17,8 +17,19 @@ import time
 
 def main():
     import dataclasses
+    import os
 
     import jax
+
+    # persistent compile cache: bucket recompiles and bench reruns reuse
+    # executables across processes (no-op if the backend bypasses it)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import numpy as np
 
     import jax.numpy as jnp
@@ -49,14 +60,23 @@ def main():
     pose0 = np.asarray(frames[0].gt_c2w, np.float32)
     state = init_state(cfg, n, pose0)
 
+    nb, tb = eng._pick_buckets(0)
     for i in range(WARMUP):
-        state = eng.fused.step(state, depths[i], rgbs[i], jnp.bool_(False))
+        state = eng.fused.step(state, depths[i], rgbs[i], jnp.bool_(False),
+                               nb, tb)
+    # ONE stable bucket for the whole timed segment (margin covers every
+    # keyframe it could insert): a bucket-growth recompile inside the
+    # timed region would swamp the measurement
+    n_now = int(jax.device_get(state.gmap.n))
+    nb, tb = eng._pick_buckets(n_now + 4 * eng.filt.num_points)
+    state = eng.fused.step(state, depths[WARMUP - 1], rgbs[WARMUP - 1],
+                           jnp.bool_(False), nb, tb)  # warm this bucket
     int(jax.device_get(state.frame_idx))  # real host sync
 
     t0 = time.time()
     for i in range(WARMUP, n):
         state = eng.fused.step(state, depths[i], rgbs[i],
-                               jnp.bool_(i == n - 1))
+                               jnp.bool_(i == n - 1), nb, tb)
     int(jax.device_get(state.frame_idx))
     elapsed = time.time() - t0
     fps = TIMED / elapsed

@@ -56,6 +56,10 @@ def _build_run_parser(sub):
     p.add_argument("--fps_cap", type=float, default=None)
     p.add_argument("--mapping_iters_per_frame", type=int, default=None)
     p.add_argument("--mapping_iters_final", type=int, default=None)
+    p.add_argument("--training_stage", type=int, default=None,
+                   choices=(0, 1, 2),
+                   help="0 full-res mapping; 1/2 half/quarter-res "
+                        "(reference gs_icp_slam.py --training_stage)")
     p.add_argument("--capacity", type=int, default=None,
                    help="gaussian map capacity (static)")
     p.add_argument("--eval_stride", type=int, default=1)
@@ -122,6 +126,9 @@ def _config_for(args):
         eng["mapping_iters_final"] = args.mapping_iters_final
     if eng:
         cfg = cfg.replace(engine=dataclasses.replace(cfg.engine, **eng))
+    if getattr(args, "training_stage", None) is not None:
+        cfg = cfg.replace(opt=dataclasses.replace(
+            cfg.opt, training_stage=args.training_stage))
     if args.downsample_rate is not None:
         cfg = cfg.replace(downsample_rate=args.downsample_rate)
     return cfg

@@ -26,6 +26,12 @@ class GICPConfig:
     rotation_epsilon: float = 2e-3
     plane_eps: float = 1e-3  # plane-regularized smallest eigenvalue
     lm_init_lambda: float = 1e-9  # tiny damping for the 6x6 solve
+    # initial-guess motion model.  The reference seeds align() with the
+    # PREVIOUS pose (constant position, mp_Tracker.py:197); constant
+    # velocity extrapolates the last relative motion — identical when
+    # stationary, markedly more robust under fast rotation, so it is the
+    # default here (set "constant_position" for exact reference behavior)
+    motion_model: str = "constant_velocity"
 
 
 @dataclass(frozen=True)
@@ -44,6 +50,12 @@ class OptConfig:
     adam_eps: float = 1e-15
     depth_loss_weight: float = 0.1
     depth_d_max: float = 10.0
+    # 0 = full-res mapping; 1/2 = optimize at half/quarter resolution
+    # (reference render_3's resolution/(training_stage*2) path,
+    # gaussian_renderer/__init__.py:237-242, mp_Mapper.py:207-218 —
+    # dead upstream since the gt pyramids are commented out in
+    # shared_objs.py:146-155, implemented live here)
+    training_stage: int = 0
 
 
 @dataclass(frozen=True)

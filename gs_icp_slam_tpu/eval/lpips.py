@@ -1,22 +1,23 @@
-"""LPIPS (AlexNet variant) in pure JAX.
+"""LPIPS (AlexNet and VGG16 variants) in pure JAX.
 
 The reference evaluates LPIPS twice: in-process with torchmetrics' alex
-variant (mp_Mapper.py:19,340) and offline with a bundled lpipsPyTorch
-(metrics.py:74).  This is the same computation — AlexNet feature trunk,
-per-layer unit-normalized feature differences, non-negative 1x1 linear
-calibration heads, spatial mean, layer sum — implemented directly on
-lax.conv so it runs on TPU/CPU without torch.
+variant (mp_Mapper.py:19,340) and offline with a bundled lpipsPyTorch vgg
+variant (metrics.py:74).  Both are the same computation — a conv feature
+trunk, per-layer unit-normalized feature differences, non-negative 1x1
+linear calibration heads, spatial mean, layer sum — implemented directly
+on lax.conv so it runs on TPU/CPU without torch.
 
 Weights: this environment has no network egress and no torchvision, so
 pretrained weights cannot be baked in.  Provide them as an .npz via the
 `weights` argument or the GS_LPIPS_WEIGHTS env var; create that file on
 any machine with internet using tools/convert_lpips_weights.py (reads
-the official `lpips` pip package / torchvision AlexNet checkpoint).
-Without weights, `lpips_available()` is False and evaluation reports
-LPIPS as None — the number would be meaningless with random features.
+the official `lpips` pip package — alex or vgg).  Without weights,
+`lpips_available()` is False and evaluation reports LPIPS as None — the
+number would be meaningless with random features.
 
 Note LPIPS(x, x) == 0 holds for ANY weights (the metric is a norm of
-feature differences), which is what the unit tests pin down.
+feature differences), which is what the unit tests pin down; the
+converter round-trip is validated structurally in tests/test_cli_eval.py.
 """
 from __future__ import annotations
 
@@ -28,15 +29,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# AlexNet feature trunk (torchvision layout): (out_c, in_c, k, stride, pad)
-_CONVS = [
-    (64, 3, 11, 4, 2),
-    (192, 64, 5, 1, 2),
-    (384, 192, 3, 1, 1),
-    (256, 384, 3, 1, 1),
-    (256, 256, 3, 1, 1),
-]
-_POOL_AFTER = {0, 1}  # maxpool 3x3 stride 2 after conv1 and conv2
+# Feature trunks (torchvision layout): per conv (out_c, in_c, k, stride,
+# pad); pool_after = conv indices followed by a maxpool; taps = conv
+# indices whose relu output feeds a calibration head.
+_NETS = {
+    "alex": dict(
+        convs=[(64, 3, 11, 4, 2), (192, 64, 5, 1, 2), (384, 192, 3, 1, 1),
+               (256, 384, 3, 1, 1), (256, 256, 3, 1, 1)],
+        pool_after={0, 1},
+        pool=(3, 2),  # kernel 3 stride 2
+        taps=(0, 1, 2, 3, 4),
+    ),
+    # VGG16 features through relu5_3 (lpipsPyTorch/modules/networks.py
+    # taps relu1_2, 2_2, 3_3, 4_3, 5_3 — the standard LPIPS-vgg trunk)
+    "vgg": dict(
+        convs=[(64, 3, 3, 1, 1), (64, 64, 3, 1, 1),
+               (128, 64, 3, 1, 1), (128, 128, 3, 1, 1),
+               (256, 128, 3, 1, 1), (256, 256, 3, 1, 1),
+               (256, 256, 3, 1, 1),
+               (512, 256, 3, 1, 1), (512, 512, 3, 1, 1),
+               (512, 512, 3, 1, 1),
+               (512, 512, 3, 1, 1), (512, 512, 3, 1, 1),
+               (512, 512, 3, 1, 1)],
+        pool_after={1, 3, 6, 9},
+        pool=(2, 2),
+        taps=(1, 3, 6, 9, 12),
+    ),
+}
 
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
@@ -46,8 +65,12 @@ def default_weights_path() -> Optional[str]:
     p = os.environ.get("GS_LPIPS_WEIGHTS")
     if p and os.path.exists(p):
         return p
-    here = os.path.join(os.path.dirname(__file__), "lpips_alex.npz")
-    return here if os.path.exists(here) else None
+    here = os.path.dirname(__file__)
+    for name in ("lpips_alex.npz", "lpips_vgg.npz"):
+        cand = os.path.join(here, name)
+        if os.path.exists(cand):
+            return cand
+    return None
 
 
 def lpips_available() -> bool:
@@ -57,10 +80,19 @@ def lpips_available() -> bool:
 @lru_cache(maxsize=2)
 def _load_weights(path: str):
     z = np.load(path)
+    net = str(z["net"]) if "net" in z.files else "alex"
+    spec = _NETS[net]
+    n = len(spec["convs"])
     convs = [(jnp.asarray(z[f"conv{i}.weight"]),
-              jnp.asarray(z[f"conv{i}.bias"])) for i in range(5)]
-    lins = [jnp.asarray(z[f"lin{i}.weight"]).reshape(-1) for i in range(5)]
-    return convs, lins
+              jnp.asarray(z[f"conv{i}.bias"])) for i in range(n)]
+    lins = [jnp.asarray(z[f"lin{i}.weight"]).reshape(-1)
+            for i in range(len(spec["taps"]))]
+    for i, (w, _) in enumerate(convs):  # schema validation
+        oc, ic, k, _, _ = spec["convs"][i]
+        assert w.shape == (oc, ic, k, k), (
+            f"conv{i}.weight shape {w.shape} != {(oc, ic, k, k)} for "
+            f"net={net}")
+    return net, convs, lins
 
 
 def _conv(x, w, b, stride, pad):
@@ -71,24 +103,26 @@ def _conv(x, w, b, stride, pad):
     return out + b[None, :, None, None]
 
 
-def _maxpool3s2(x):
+def _maxpool(x, k, s):
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
-        "VALID")
+        x, -jnp.inf, jax.lax.max, (1, 1, k, k), (1, 1, s, s), "VALID")
 
 
-def _features(x, convs):
-    """x (N, 3, H, W) in [-1, 1] -> list of 5 relu feature maps."""
+def _features(x, convs, spec):
+    """x (N, 3, H, W) in [-1, 1] -> relu feature maps at the tap layers."""
     x = (x - jnp.asarray(_SHIFT)[None, :, None, None]) / \
         jnp.asarray(_SCALE)[None, :, None, None]
+    taps = set(spec["taps"])
+    pk, ps = spec["pool"]
     feats = []
-    for i, ((w, b), spec) in enumerate(zip(convs, _CONVS)):
-        _, _, _, stride, pad = spec
+    for i, ((w, b), conv_spec) in enumerate(zip(convs, spec["convs"])):
+        _, _, _, stride, pad = conv_spec
         x = _conv(x, w, b, stride, pad)
         x = jax.nn.relu(x)
-        feats.append(x)
-        if i in _POOL_AFTER:
-            x = _maxpool3s2(x)
+        if i in taps:
+            feats.append(x)
+        if i in spec["pool_after"]:
+            x = _maxpool(x, pk, ps)
     return feats
 
 
@@ -108,16 +142,17 @@ def lpips(img0: jnp.ndarray, img1: jnp.ndarray,
     if path is None:
         raise FileNotFoundError(
             "LPIPS weights not found: set GS_LPIPS_WEIGHTS or place "
-            "lpips_alex.npz next to eval/lpips.py (see "
+            "lpips_alex.npz / lpips_vgg.npz next to eval/lpips.py (see "
             "tools/convert_lpips_weights.py)")
-    convs, lins = _load_weights(path)
+    net, convs, lins = _load_weights(path)
+    spec = _NETS[net]
     if img0.ndim == 3:
         img0 = img0[None]
         img1 = img1[None]
     x0 = img0 * 2.0 - 1.0
     x1 = img1 * 2.0 - 1.0
-    f0 = _features(x0, convs)
-    f1 = _features(x1, convs)
+    f0 = _features(x0, convs, spec)
+    f1 = _features(x1, convs, spec)
     total = 0.0
     for a, b, lw in zip(f0, f1, lins):
         d = (_unit_normalize(a) - _unit_normalize(b)) ** 2   # (N, C, H, W)
@@ -126,16 +161,18 @@ def lpips(img0: jnp.ndarray, img1: jnp.ndarray,
     return total
 
 
-def make_random_weights(path: str, seed: int = 0) -> None:
+def make_random_weights(path: str, seed: int = 0, net: str = "alex") -> None:
     """Write a RANDOM-weight npz in the exact file format (for tests and
     for validating the converter round-trip; not a perceptual metric)."""
     rng = np.random.default_rng(seed)
-    out = {}
-    for i, (oc, ic, k, _, _) in enumerate(_CONVS):
+    spec = _NETS[net]
+    out = {"net": np.asarray(net)}
+    for i, (oc, ic, k, _, _) in enumerate(spec["convs"]):
         out[f"conv{i}.weight"] = rng.normal(
             0, 0.05, (oc, ic, k, k)).astype(np.float32)
         out[f"conv{i}.bias"] = np.zeros((oc,), np.float32)
-    for i, (oc, _, _, _, _) in enumerate(_CONVS):
-        out[f"lin{i}.weight"] = np.abs(
+    for j, i in enumerate(spec["taps"]):
+        oc = spec["convs"][i][0]
+        out[f"lin{j}.weight"] = np.abs(
             rng.normal(0, 0.01, (oc,))).astype(np.float32)
     np.savez(path, **out)

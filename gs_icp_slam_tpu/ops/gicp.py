@@ -310,22 +310,27 @@ def gicp_align(source: GICPSource, target: GICPTarget, init_T: jnp.ndarray,
         H = H + cfg.lm_init_lambda * jnp.trace(H) * jnp.eye(6, dtype=H.dtype)
         delta = _chol_solve6(H, -g)
         T_new = se3_exp(delta) @ T
-        return T_new, delta, err
+        return T_new, delta, err, idx, sqd
 
     def cond(state):
-        _, i, converged = state
+        _, i, converged, _, _ = state
         return (i < cfg.max_iterations) & (~converged)
 
     def body(state):
-        T, i, _ = state
-        T_new, delta, _ = gn_step(T)
+        T, i, _, _, _ = state
+        T_new, delta, _, idx, sqd = gn_step(T)
         rot_ok = jnp.max(jnp.abs(delta[:3])) < cfg.rotation_epsilon
         trn_ok = jnp.max(jnp.abs(delta[3:])) < cfg.transformation_epsilon
-        return T_new, i + 1, rot_ok & trn_ok
+        return T_new, i + 1, rot_ok & trn_ok, idx, sqd
 
-    init = (init_T.astype(jnp.float32), jnp.int32(0), jnp.bool_(False))
-    T, n_iters, _ = jax.lax.while_loop(cond, body, init)
-    return T, n_iters
+    S = source.points.shape[0]
+    init = (init_T.astype(jnp.float32), jnp.int32(0), jnp.bool_(False),
+            jnp.zeros((S,), jnp.int32), jnp.full((S,), _BIG, jnp.float32))
+    T, n_iters, _, idx, sqd = jax.lax.while_loop(cond, body, init)
+    # idx/sqd are the LAST linearization's correspondences — what
+    # fast_gicp's get_source_correspondence returns after align
+    # (mp_Tracker.py:231); reusing them saves the extra 1-NN pass
+    return T, n_iters, idx, sqd
 
 
 @jax.jit

@@ -1,5 +1,7 @@
 from .mapping import (make_mesh, shard_map_state, make_parallel_opt_step,
                       ParallelMappingStep)
+from .sharded import MAP_AXIS, place_state, state_shardings
 
 __all__ = ["make_mesh", "shard_map_state", "make_parallel_opt_step",
-           "ParallelMappingStep"]
+           "ParallelMappingStep", "MAP_AXIS", "place_state",
+           "state_shardings"]

@@ -15,8 +15,12 @@ One parallel step therefore does `n_devices` keyframe-iterations of the
 reference mapper (mp_Mapper.py:196-248) per round trip, turning the
 mapper's serial free-running loop into the batch dimension.
 
-Tested on a CPU mesh (tests/conftest.py forces 8 virtual devices); the
-driver's dryrun_multichip uses the same entry points.
+This module is the STANDALONE batched mapping step (used by the scaling
+harness, scripts/bench_scaling.py); the integrated multi-chip mode lives
+in slam/fused.py (`make_fused_step(..., mesh=...)` /
+`FusedEngine(..., mesh=...)`) with its sharding layout in sharded.py.
+Both are exercised on the 8-virtual-device CPU mesh by
+tests/test_parallel.py.
 """
 from __future__ import annotations
 

@@ -299,8 +299,17 @@ class SLAMEngine:
             return
 
         source = self._build_source(points, valid, trackable)
-        init_T = jnp.asarray(self.poses[-1], jnp.float32)
-        T, _ = self._align(source, self.target, init_T)
+        prev = np.asarray(self.poses[-1], np.float64)
+        if (self.cfg.gicp.motion_model == "constant_velocity"
+                and len(self.poses) >= 2):
+            # extrapolate the last relative motion (see GICPConfig; the
+            # reference seeds with the previous pose, mp_Tracker.py:197)
+            prev2 = np.asarray(self.poses[-2], np.float64)
+            init_np = prev @ np.linalg.inv(prev2) @ prev
+        else:
+            init_np = prev
+        init_T = jnp.asarray(init_np, jnp.float32)
+        T, _, _, _ = self._align(source, self.target, init_T)
         pts_w, rots_w, sqd, ratio = self._frame_post(T, source, self.target)
         T_np = np.asarray(T, np.float64)
         self.poses.append(T_np)

@@ -24,9 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SLAMConfig
-from ..models import (add_gaussians, adam_step, map_lr_tree, map_params,
-                      prune_large_and_transparent, trackable_export,
-                      with_params)
+from ..models import (AdamState, GaussianMap, add_gaussians, adam_step,
+                      map_lr_tree, map_params, prune_large_and_transparent,
+                      trackable_export, with_params)
 from ..ops.gicp import (gicp_align, make_source, source_correspondences,
                         target_from_gaussians, target_from_points, GICPTarget)
 from ..ops.rasterize import rasterize_tiled
@@ -55,55 +55,241 @@ def to_chw(rgb_hwc) -> "jnp.ndarray":
         np.asarray(rgb_hwc).transpose(2, 0, 1)))
 
 
-def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
+class MappingPrimitives(NamedTuple):
+    """The mapping-side pieces of the fused step, exposed for tests and the
+    scaling harness (tests/test_parallel.py, scripts/bench_scaling.py)."""
+    raster: Callable       # partial of rasterize_tiled at cfg geometry
+    opt_loss: Callable     # (params, live, w2c, rgb_u8, depth_raw)
+    opt_step: Callable     # single-keyframe step
+    opt_step_batched: Callable | None  # mesh DP step (None without mesh)
+    sh_concat: Callable    # params -> (C, (sh+1)^2, 3) SH coefficients
+
+
+def make_mapping_primitives(cfg: SLAMConfig, mesh=None,
+                            n_cap: int | None = None) -> MappingPrimitives:
+    """Build the mapping optimization step(s) for a config.
+
+    With `mesh`: also builds `opt_step_batched`, the FSDP + keyframe-DP
+    step — params/moments enter sharded along capacity, each device
+    all-gathers the params, renders ITS OWN keyframe of the batch,
+    psum-scatters gradients back to its shard, and applies shard-local
+    masked Adam (parallel/sharded.py docstring has the full design).
+
+    `n_cap`: the capacity bucket these steps will see (fused.py bucket
+    dispatch) — caps the per-view visible budget so the raster's sort and
+    pair sizes track the map scale."""
+    import numpy as _np
+
     intr = cfg.intr
-    gicp_cfg = cfg.gicp
     rcfg = cfg.render
     lrs = map_lr_tree(cfg.opt)
+    # numpy, NOT jnp: make_mapping_primitives may be invoked inside a jit
+    # trace (fused.py's per-bucket get_prim) and is lru-cached across
+    # traces — a jnp constant created under one trace would leak into the
+    # next (UnexpectedTracerError)
+    bg = _np.asarray(rcfg.bg_color, _np.float32)
+    fx, fy = intr.fx, intr.fy
+    rcx, rcy = (intr.width - 1) / 2.0, (intr.height - 1) / 2.0
+    # under a mesh the step runs on the mesh's devices, which may be the
+    # virtual CPU test mesh even when a TPU backend is registered — key the
+    # pallas switch off the mesh, not the default backend
+    use_pallas = (mesh.devices.flat[0].platform == "tpu") if mesh else None
+    v_cap = rcfg.visible_capacity
+    if n_cap is not None:
+        v_cap = min(v_cap, n_cap)
+    raster = partial(
+        rasterize_tiled, sh_degree=cfg.map.sh_degree, width=intr.width,
+        height=intr.height, tile=rcfg.tile_size,
+        visible_cap=v_cap, tile_span=rcfg.tile_span,
+        tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk,
+        want_used=False, use_pallas=use_pallas)
+
+    # training_stage 1/2: optimize at half/quarter resolution — render
+    # small, downsample gt on the fly (the reference pre-computed pyramids,
+    # shared_objs.py:146-155; render_3 resolution switch,
+    # gaussian_renderer/__init__.py:237-242)
+    stage = int(getattr(cfg.opt, "training_stage", 0))
+    sdiv = 2 * stage if stage > 0 else 1
+    if stage > 0:
+        sw, sh_px = intr.width // sdiv, intr.height // sdiv
+        raster_opt = partial(
+            rasterize_tiled, sh_degree=cfg.map.sh_degree, width=sw,
+            height=sh_px, tile=rcfg.tile_size,
+            visible_cap=rcfg.visible_capacity, tile_span=rcfg.tile_span,
+            tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk,
+            want_used=False, use_pallas=use_pallas)
+        ofx, ofy = fx / sdiv, fy / sdiv
+        ocx, ocy = (sw - 1) / 2.0, (sh_px - 1) / 2.0
+    else:
+        raster_opt = raster
+        ofx, ofy, ocx, ocy = fx, fy, rcx, rcy
+
+    def _downsample_gt(gt_img, gt_depth):
+        if stage == 0:
+            return gt_img, gt_depth
+        sw, sh_px = intr.width // sdiv, intr.height // sdiv
+        # rgb: area average (cv2.resize INTER_LINEAR downscale analogue)
+        img = gt_img[:, :sh_px * sdiv, :sw * sdiv].reshape(
+            3, sh_px, sdiv, sw, sdiv).mean(axis=(2, 4))
+        # depth: nearest (INTER_NEAREST, shared_objs.py:152-153) — keeps
+        # exact zeros so the depth-validity mask semantics survive
+        dep = gt_depth[:sh_px * sdiv:sdiv, :sw * sdiv:sdiv]
+        return img, dep
+
+    def _sh(params):
+        return jnp.concatenate(
+            [params["f_dc"][:, None, :], params["f_rest"]], axis=1)
+
+    def opt_loss(params, live, w2c, rgb_u8, depth_raw):
+        # rgb_u8 is channel-first (3, H, W): see SLAMState.kf_rgb
+        gt_img = rgb_u8.astype(jnp.float32) / 255.0
+        gt_depth = depth_raw / intr.depth_scale
+        gt_img, gt_depth = _downsample_gt(gt_img, gt_depth)
+        out = raster_opt(params["xyz"], params["rotation"],
+                         jnp.exp(params["log_scaling"]),
+                         jax.nn.sigmoid(params["opacity_logit"][:, 0]),
+                         _sh(params), w2c, live, bg, ofx, ofy, ocx, ocy)
+        loss, _ = mapping_loss(out.color, out.depth, gt_img, gt_depth,
+                               lambda_dssim=cfg.opt.lambda_dssim,
+                               depth_weight=cfg.opt.depth_loss_weight,
+                               d_max=cfg.opt.depth_d_max)
+        return loss, out.stats
+
+    def opt_step(params, adam, live, w2c, rgb_u8, depth_raw):
+        (loss, stats), grads = jax.value_and_grad(
+            lambda p: opt_loss(p, live, w2c, rgb_u8, depth_raw),
+            has_aux=True)(params)
+        params, adam = adam_step(params, grads, adam, lrs, live,
+                                 b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2,
+                                 eps=cfg.opt.adam_eps)
+        return params, adam, loss, stats
+
+    # sharded batched variant: FSDP all-gather -> per-device keyframe render
+    # -> psum-scatter grads -> shard-local Adam (parallel/sharded.py)
+    opt_step_batched = None
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as _P
+
+        from ..parallel.sharded import MAP_AXIS
+        n_dev = int(mesh.devices.size)
+
+        def _local_opt_step(params_s, m_s, v_s, step_s, live_s,
+                            w2c_l, rgb_l, depth_l):
+            gather = partial(jax.lax.all_gather, axis_name=MAP_AXIS,
+                             axis=0, tiled=True)
+            params_f = jax.tree.map(gather, params_s)
+            live_f = gather(live_s)
+
+            def loss_fn(pf):
+                return opt_loss(pf, live_f, w2c_l[0], rgb_l[0], depth_l[0])
+
+            (loss, stats), grads_f = jax.value_and_grad(
+                loss_fn, has_aux=True)(params_f)
+            g_s = jax.tree.map(
+                lambda g: jax.lax.psum_scatter(
+                    g, MAP_AXIS, scatter_dimension=0, tiled=True) / n_dev,
+                grads_f)
+            params_s, adam_s = adam_step(
+                params_s, g_s, AdamState(m=m_s, v=v_s, step=step_s), lrs,
+                live_s, b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2,
+                eps=cfg.opt.adam_eps)
+            loss = jax.lax.psum(loss, MAP_AXIS) / n_dev
+            stats = jax.lax.pmax(stats, MAP_AXIS)
+            return (params_s, adam_s.m, adam_s.v, adam_s.step, loss, stats)
+
+        _sharded_local = jax.shard_map(
+            _local_opt_step, mesh=mesh,
+            in_specs=(_P(MAP_AXIS), _P(MAP_AXIS), _P(MAP_AXIS), _P(),
+                      _P(MAP_AXIS), _P(MAP_AXIS), _P(MAP_AXIS),
+                      _P(MAP_AXIS)),
+            out_specs=(_P(MAP_AXIS), _P(MAP_AXIS), _P(MAP_AXIS), _P(),
+                       _P(), _P()),
+            check_vma=False)
+
+        def opt_step_batched(params, adam, live, w2c_b, rgb_b, depth_b):
+            p, m, v, step, loss, stats = _sharded_local(
+                params, adam.m, adam.v, adam.step, live, w2c_b, rgb_b,
+                depth_b)
+            return p, AdamState(m=m, v=v, step=step), loss, stats
+
+    return MappingPrimitives(raster=raster, opt_loss=opt_loss,
+                             opt_step=opt_step,
+                             opt_step_batched=opt_step_batched, sh_concat=_sh)
+
+
+def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
+                    mesh=None) -> FusedStep:
+    """Build the fused frame step.  With `mesh` set, the map parameters and
+    Adam moments are FSDP-sharded along capacity and every mapping
+    iteration optimizes `mesh.size` keyframes at once (one per device, DP)
+    inside a shard_map region — see parallel/sharded.py."""
+    intr = cfg.intr
+    gicp_cfg = cfg.gicp
     tc = cfg.engine.target_capacity
 
     flat_idxs = jnp.asarray(filt.flat_idxs)
     x_pre = jnp.asarray(filt.x_pre)
     y_pre = jnp.asarray(filt.y_pre)
 
-    bg = jnp.asarray(rcfg.bg_color, jnp.float32)
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def get_prim(n_cap=None):
+        return make_mapping_primitives(cfg, mesh, n_cap=n_cap)
+
+    prim = get_prim()
+    raster = prim.raster
+    _sh = prim.sh_concat
+    opt_step_batched = prim.opt_step_batched
+    bg = jnp.asarray(cfg.render.bg_color, jnp.float32)
     fx, fy = intr.fx, intr.fy
     rcx, rcy = (intr.width - 1) / 2.0, (intr.height - 1) / 2.0
-    raster = partial(
-        rasterize_tiled, sh_degree=cfg.map.sh_degree, width=intr.width,
-        height=intr.height, tile=rcfg.tile_size,
-        visible_cap=rcfg.visible_capacity, tile_span=rcfg.tile_span,
-        tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk, want_used=False)
 
-    def _sh(params):
-        return jnp.concatenate(
-            [params["f_dc"][:, None, :], params["f_rest"]], axis=1)
+    # ---------------- capacity bucketing ----------------
+    # Live splats occupy the prefix [0, gmap.n); the engine passes a static
+    # n_bucket >= n (power of two, with insert margin) so every map-sized
+    # computation — projection, depth sort, adam, prune, export — runs at
+    # the CURRENT map scale instead of the full static capacity.  The
+    # state keeps full-capacity arrays (stable shapes across buckets);
+    # slices in, dynamic-update-slice out.
+    def slice_map(m, nb):
+        if nb is None or nb >= m.capacity:
+            return m
+        return GaussianMap(**{
+            f: (getattr(m, f) if f == "n" else getattr(m, f)[:nb])
+            for f in m._fields})
 
-    # ---------------- mapping ----------------
-    def opt_step(params, adam, live, w2c, rgb_u8, depth_raw):
-        # rgb_u8 is channel-first (3, H, W): see SLAMState.kf_rgb
-        gt_img = rgb_u8.astype(jnp.float32) / 255.0
-        gt_depth = depth_raw / intr.depth_scale
+    def unslice_map(full, part, nb):
+        if nb is None or nb >= full.capacity:
+            return part
+        return GaussianMap(**{
+            f: (part.n if f == "n"
+                else getattr(full, f).at[:nb].set(getattr(part, f)))
+            for f in full._fields})
 
-        def loss_fn(p):
-            out = raster(p["xyz"], p["rotation"], jnp.exp(p["log_scaling"]),
-                         jax.nn.sigmoid(p["opacity_logit"][:, 0]), _sh(p),
-                         w2c, live, bg, fx, fy, rcx, rcy)
-            loss, _ = mapping_loss(out.color, out.depth, gt_img, gt_depth,
-                                   lambda_dssim=cfg.opt.lambda_dssim,
-                                   depth_weight=cfg.opt.depth_loss_weight,
-                                   d_max=cfg.opt.depth_d_max)
-            return loss, out.stats
+    def slice_adam(a, nb):
+        if nb is None:
+            return a
+        cut = jax.tree.map(lambda x: x[:nb], (a.m, a.v))
+        return AdamState(m=cut[0], v=cut[1], step=a.step)
 
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params)
-        params, adam = adam_step(params, grads, adam, lrs, live,
-                                 b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2,
-                                 eps=cfg.opt.adam_eps)
-        return params, adam, loss, stats
+    def unslice_adam(full, part, nb):
+        if nb is None:
+            return part
+        m, v = jax.tree.map(lambda f, p: f.at[:nb].set(p),
+                            (full.m, full.v), (part.m, part.v))
+        return AdamState(m=m, v=v, step=part.step)
 
-    def mapping_iters(state, n_iters: int):
-        gmap, adam = state.gmap, state.adam
+    def slice_target(t, tb):
+        if tb is None or tb >= t.capacity:
+            return t
+        return GICPTarget(points=t.points[:, :tb], cov6=t.cov6[:, :tb],
+                          valid=t.valid[:tb], nn_bias=t.nn_bias[:, :tb])
+
+    def mapping_iters(state, n_iters: int, n_bucket=None):
+        gmap_full, adam = state.gmap, state.adam
+        gmap = slice_map(gmap_full, n_bucket)
+        adam = slice_adam(adam, n_bucket)
         params = map_params(gmap)
         rng = state.rng
         new_kf = state.new_kf
@@ -125,20 +311,41 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
                 lambda m: m, with_params(gmap, params))
             params = map_params(gmap)
 
-            w2c = state.kf_w2c[idx]
-            rgb = state.kf_rgb[idx]
-            depth = state.kf_depth[idx]
-            # frame 0 has no stored keyframe yet: skip the whole render +
-            # backward instead of computing and discarding it
-            params, adam, _, stats = jax.lax.cond(
-                state.kf_count > 0,
-                lambda p, a: opt_step(p, a, gmap.live, w2c, rgb, depth),
-                lambda p, a: (p, a, jnp.float32(0),
-                              jnp.zeros((3,), jnp.int32)),
-                params, adam)
+            if mesh is None:
+                opt_step = get_prim(n_bucket).opt_step
+                w2c = state.kf_w2c[idx]
+                rgb = state.kf_rgb[idx]
+                depth = state.kf_depth[idx]
+                # frame 0 has no stored keyframe yet: skip the whole
+                # render + backward instead of computing and discarding it
+                params, adam, _, stats = jax.lax.cond(
+                    state.kf_count > 0,
+                    lambda p, a: opt_step(p, a, gmap.live, w2c, rgb, depth),
+                    lambda p, a: (p, a, jnp.float32(0),
+                                  jnp.zeros((3,), jnp.int32)),
+                    params, adam)
+            else:
+                # one keyframe per device: the first slot takes the newest
+                # keyframe (mp_Mapper.py:200-206 newest-then-random), the
+                # rest are uniform random over the store
+                n_dev = int(mesh.devices.size)
+                rng, sub = jax.random.split(rng)
+                idxs = jax.random.randint(sub, (n_dev,), 0,
+                                          jnp.maximum(state.kf_count, 1))
+                idxs = idxs.at[0].set(idx)
+                params, adam, _, stats = jax.lax.cond(
+                    state.kf_count > 0,
+                    lambda p, a: opt_step_batched(
+                        p, a, gmap.live, state.kf_w2c[idxs],
+                        state.kf_rgb[idxs], state.kf_depth[idxs]),
+                    lambda p, a: (p, a, jnp.float32(0),
+                                  jnp.zeros((3,), jnp.int32)),
+                    params, adam)
             vis_drop = jnp.maximum(vis_drop, stats[1])
             pair_drop = jnp.maximum(pair_drop, stats[2])
         gmap = with_params(gmap, params)
+        gmap = unslice_map(gmap_full, gmap, n_bucket)
+        adam = unslice_adam(state.adam, adam, n_bucket)
         return state._replace(gmap=gmap, adam=adam, rng=rng,
                               new_kf=jnp.int32(-1), train_iter=train_iter,
                               stat_vis_dropped=vis_drop,
@@ -168,14 +375,23 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
             kf_total=state.kf_total + stored,
             new_kf=jnp.where(do_store, slot_in, state.new_kf))
 
-    def export_target(gmap):
+    def export_target(gmap, n_bucket=None):
+        # bucket-sliced: the argsort compaction runs at the live map
+        # scale; trackables <= n <= n_bucket so capping the export size to
+        # the bucket loses nothing, and the target stays tc-padded
+        out_cap = tc if n_bucket is None else min(tc, n_bucket)
         pts, rots, scales, valid = trackable_export(
-            gmap, cfg.map.trackable_opacity_th, tc)
+            slice_map(gmap, n_bucket), cfg.map.trackable_opacity_th,
+            out_cap)
         return target_from_gaussians(pts, rots, scales, valid, gicp_cfg,
                                      capacity=tc)
 
     # ---------------- the fused frame step ----------------
-    def step(state, depth_raw, rgb_u8, is_last):
+    def step(state, depth_raw, rgb_u8, is_last, n_bucket=None,
+             t_bucket=None):
+        # n_bucket/t_bucket are STATIC capacity buckets chosen by the
+        # engine (FusedEngine._buckets): compute scales with the live map,
+        # not the worst-case static capacity.  None = full capacity.
         # preprocess (mp_Tracker.py:415-431); rgb_u8 is (3, H, W)
         z = depth_raw.reshape(-1)[flat_idxs].astype(jnp.float32) / intr.depth_scale
         colors = (rgb_u8.reshape(3, -1)[:, flat_idxs].T
@@ -203,11 +419,25 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
         def track_frame(state):
             source = make_source(points, valid, gicp_cfg,
                                  trackable=trackable)
-            init_T = state.poses[state.frame_idx - 1]
-            T, _ = gicp_align(source, state.target, init_T, gicp_cfg)
+            prev = state.poses[state.frame_idx - 1]
+            if gicp_cfg.motion_model == "constant_velocity":
+                # extrapolate the last relative motion:
+                # T_init = (T_{k-1} T_{k-2}^{-1}) T_{k-1}; falls back to
+                # constant position on frame 1 (reference mp_Tracker.py:197)
+                prev2 = state.poses[jnp.maximum(state.frame_idx - 2, 0)]
+                delta = prev @ invert_se3(prev2)
+                init_T = jnp.where(state.frame_idx >= 2, delta @ prev, prev)
+            else:
+                init_T = prev
+            # align returns the final correspondences too — the separate
+            # source_correspondences pass (one more full 1-NN) is gone.
+            # The target is sliced to its bucket: export compacts valid
+            # slots into the prefix, so [: t_bucket] sees all of them.
+            T, _, _, sqd = gicp_align(source,
+                                      slice_target(state.target, t_bucket),
+                                      init_T, gicp_cfg)
 
             pts_w = transform_points(T, source.points)
-            _, sqd = source_correspondences(T, source.points, state.target)
             n_track = jnp.sum(source.valid)
             overlap = jnp.sum(source.valid
                               & (sqd < cfg.kf.overlapped_th))
@@ -237,7 +467,7 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
             # covariance sharing, map -> tracker, on tracking keyframes
             # (mp_Tracker.py:286-288); heavy, so guarded by cond
             target = jax.lax.cond(tracking_kf,
-                                  lambda m: export_target(m),
+                                  lambda m: export_target(m, n_bucket),
                                   lambda m: state.target, state.gmap)
 
             return state._replace(
@@ -248,19 +478,48 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
 
         state = jax.lax.cond(state.frame_idx == 0, first_frame, track_frame,
                              state)
-        state = mapping_iters(state, cfg.engine.mapping_iters_per_frame)
+        state = mapping_iters(state, cfg.engine.mapping_iters_per_frame,
+                              n_bucket)
         return state
 
-    step = jax.jit(step, donate_argnums=(0,))
+    if mesh is None:
+        step = jax.jit(step, donate_argnums=(0,), static_argnums=(4, 5))
+        refine = jax.jit(
+            lambda state, n_bucket=None: mapping_iters(
+                state, REFINE_CHUNK, n_bucket),
+            donate_argnums=(0,), static_argnums=(1,))
+    else:
+        from jax.sharding import NamedSharding as _NS, PartitionSpec as _PS
+        from ..parallel.sharded import state_shardings
+        st_sh = state_shardings(mesh)
+        repl = _NS(mesh, _PS())
+        step = jax.jit(step, donate_argnums=(0,), static_argnums=(4, 5),
+                       in_shardings=(st_sh, repl, repl, repl),
+                       out_shardings=st_sh)
+        refine = jax.jit(
+            lambda state, n_bucket=None: mapping_iters(state, REFINE_CHUNK),
+            donate_argnums=(0,), static_argnums=(1,),
+            in_shardings=(st_sh,), out_shardings=st_sh)
 
     # post-run map refinement (the reference mapper free-runs after the
     # tracker ends, mp_Mapper.py:154); chunked so the host can size the
-    # total budget without recompiling
-    refine = jax.jit(lambda state: mapping_iters(state, REFINE_CHUNK),
-                     donate_argnums=(0,))
+    # total budget without recompiling — see `refine` above
 
-    @jax.jit
+    if mesh is not None:
+        # replicate the (sharded) map before the eval render so the raster
+        # runs whole on every device instead of through GSPMD partitioning
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        _repl = NamedSharding(mesh, _P())
+
+        def _replicate(tree):
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, _repl), tree)
+    else:
+        def _replicate(tree):
+            return tree
+
     def render_eval(params, live, w2c, rgb_u8, depth_raw):
+        params, live = _replicate(params), _replicate(live)
         gt_img = rgb_u8.astype(jnp.float32) / 255.0  # (3, H, W) input
         gt_depth = depth_raw / intr.depth_scale
         out = raster(params["xyz"], params["rotation"],
@@ -272,6 +531,8 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter) -> FusedStep:
             jnp.sum(mask) * 3.0, 1.0)
         return out.color, -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
+    render_eval = jax.jit(render_eval)
+
     return FusedStep(step=step, render_eval=render_eval, refine=refine)
 
 
@@ -282,22 +543,60 @@ class FusedEngine:
     and per-dispatch host latency amortizes away."""
 
     def __init__(self, dataset: "RGBDSequence", cfg: SLAMConfig,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
+        """With `mesh` (a 1-axis jax.sharding.Mesh), the map is FSDP-sharded
+        over the mesh and each mapping iteration optimizes mesh.size
+        keyframes in data parallel — see parallel/sharded.py.  Requires
+        cfg.map.capacity divisible by the mesh size."""
         from ..utils.pointcloud import make_downsample_filter
 
+        if mesh is not None:
+            n_dev = int(mesh.devices.size)
+            assert cfg.map.capacity % n_dev == 0, (
+                f"map capacity {cfg.map.capacity} not divisible by "
+                f"mesh size {n_dev}")
         self.dataset = dataset
         self.cfg = cfg
+        self.mesh = mesh
         intr = cfg.intr
         self.filt = make_downsample_filter(
             intr.width, intr.height, intr.fx, intr.fy, intr.cx, intr.cy,
             cfg.downsample_rate)
         self.seed = seed
-        self.fused = make_fused_step(cfg, self.filt)
+        self.fused = make_fused_step(cfg, self.filt, mesh=mesh)
         self.state = None
 
-    def _finalize(self, iters: int):
+    # how often the host syncs the device-side high-water mark to choose
+    # capacity buckets.  Outgrowing a bucket between syncs is SOFT:
+    # inserts always land in the full-capacity state; splats beyond the
+    # bucket just wait <= BUCKET_SYNC frames before mapping sees them, and
+    # the tracker's target is truncated to its bucket (export compacts
+    # valid slots first).  So the margin only needs to cover the typical
+    # keyframe burst, not the worst case.
+    BUCKET_SYNC = 8
+    MIN_BUCKET = 1 << 14
+
+    @staticmethod
+    def _pow2(x: int) -> int:
+        return 1 << max(int(x) - 1, 1).bit_length()
+
+    def _pick_buckets(self, n_now: int):
+        """Static (n_bucket, t_bucket) covering n_now plus a two-keyframe
+        insert margin; None = full capacity (no slicing)."""
+        if self.mesh is not None:
+            return None, None  # sharded mode keeps even full-size shards
+        margin = 2 * self.filt.num_points
+        cap = self.cfg.map.capacity
+        nb = max(self._pow2(n_now + margin), self.MIN_BUCKET)
+        n_bucket = None if nb >= cap else nb
+        tc = self.cfg.engine.target_capacity
+        tb = max(self._pow2(n_now + margin), 4096)
+        t_bucket = None if tb >= tc else tb
+        return n_bucket, t_bucket
+
+    def _finalize(self, iters: int, n_bucket=None):
         for _ in range(-(-iters // REFINE_CHUNK) if iters > 0 else 0):
-            self.state = self.fused.refine(self.state)
+            self.state = self.fused.refine(self.state, n_bucket)
 
     def run(self, eval_render: bool = True, eval_stride: int = 1,
             progress: bool = False, viewer=None):
@@ -314,19 +613,43 @@ class FusedEngine:
         pose0 = np.asarray(
             f0.gt_c2w if f0.gt_c2w is not None else np.eye(4), np.float32)
         state = init_state(cfg, n, pose0, self.seed)
+        if self.mesh is not None:
+            from ..parallel.sharded import place_state
+            state = place_state(state, self.mesh)
 
         fps_cap = cfg.engine.fps_cap
+        n_bucket, t_bucket = self._pick_buckets(0)
         t0 = time.time()
         for i in range(n):
+            if i % self.BUCKET_SYNC == 0 and i > 0:
+                # one host sync per BUCKET_SYNC frames keeps the capacity
+                # buckets tracking the map's high-water mark
+                n_now = int(jax.device_get(state.gmap.n))
+                n_bucket, t_bucket = self._pick_buckets(n_now)
             fr = dataset[i]
             state = self.fused.step(state, jnp.asarray(fr.depth),
                                     to_chw(fr.rgb),
-                                    jnp.bool_(i == n - 1))
+                                    jnp.bool_(i == n - 1),
+                                    n_bucket, t_bucket)
             if viewer is not None:
                 # pose of frame i: syncs the device (viewer mode trades FPS
                 # for live output, like the reference's rerun streaming)
                 pose_i = np.asarray(jax.device_get(state.poses[i]))
                 viewer.log_frame(i, pose_i, fr.rgb, fr.depth)
+                kf_tot = int(jax.device_get(state.kf_total))
+                if kf_tot != getattr(self, "_viewer_kf_tot", -1):
+                    # keyframe happened: log the trackable map points
+                    # (mp_Tracker.py:186-189) and the mapper's current
+                    # render of this view (mp_Mapper.py:250-257)
+                    self._viewer_kf_tot = kf_tot
+                    pts = np.asarray(jax.device_get(state.target.points)).T
+                    ok = np.asarray(jax.device_get(state.target.valid))
+                    viewer.log_points(i, pts[ok])
+                    img, _ = self.fused.render_eval(
+                        map_params(state.gmap), state.gmap.live,
+                        invert_se3(jnp.asarray(pose_i, jnp.float32)),
+                        to_chw(fr.rgb), jnp.asarray(fr.depth))
+                    viewer.log_render(i, np.asarray(jax.device_get(img)))
             if fps_cap:
                 # throttle to fps_cap average (mp_Tracker.py:323-324);
                 # requires a host sync, so only bounds — not measures — FPS
@@ -343,7 +666,7 @@ class FusedEngine:
         fps = n / elapsed
 
         self.state = state
-        self._finalize(cfg.engine.mapping_iters_final)
+        self._finalize(cfg.engine.mapping_iters_final, n_bucket)
         state = self.state
 
         poses = np.asarray(jax.device_get(state.poses), np.float64)

@@ -96,7 +96,7 @@ def main():
     def track(source, target, init_T):
         return gicp_align(source, target, init_T, cfg.gicp)
 
-    T_est, n_iters = track(source, state.target, init_T)
+    T_est, n_iters, _, _ = track(source, state.target, init_T)
     print("gicp iters:", int(jax.device_get(n_iters)))
 
     @jax.jit

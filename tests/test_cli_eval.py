@@ -83,6 +83,74 @@ def test_lpips_identity_and_sensitivity(tmp_path):
     assert d_diff > d_same
 
 
+def test_lpips_vgg_variant(tmp_path):
+    """The VGG16 variant (metrics.py:74's lpipsPyTorch path) computes and
+    keeps the LPIPS invariants."""
+    from gs_icp_slam_tpu.eval.lpips import lpips, make_random_weights
+
+    wpath = str(tmp_path / "lpips_vgg_test.npz")
+    make_random_weights(wpath, net="vgg")
+    rng = np.random.default_rng(1)
+    a = rng.uniform(size=(3, 64, 64)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.2, a.shape).astype(np.float32), 0, 1)
+    import jax.numpy as jnp
+    d_same = float(lpips(jnp.asarray(a), jnp.asarray(a), weights=wpath)[0])
+    d_diff = float(lpips(jnp.asarray(a), jnp.asarray(b), weights=wpath)[0])
+    assert abs(d_same) < 1e-6
+    assert d_diff > 0
+
+
+def test_lpips_weight_schema_roundtrip(tmp_path):
+    """The converter's conv-shape table must match the loader's _NETS spec
+    exactly for both nets — a weights file produced by
+    tools/convert_lpips_weights.py always loads (structural validation;
+    real-value goldens need internet, which this image lacks)."""
+    import importlib
+    import importlib.util
+    import os
+
+    # the MODULE, not the re-exported function shadowing it in eval.__init__
+    L = importlib.import_module("gs_icp_slam_tpu.eval.lpips")
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_lpips_weights",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "convert_lpips_weights.py"))
+    conv_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(conv_mod)
+
+    for net in ("alex", "vgg"):
+        expect = conv_mod.expected_conv_shapes(net)
+        ours = [(oc, ic, k, k) for (oc, ic, k, _, _) in
+                L._NETS[net]["convs"]]
+        assert expect == ours, net
+        # a file in the schema loads and validates
+        wpath = str(tmp_path / f"w_{net}.npz")
+        L.make_random_weights(wpath, net=net)
+        loaded_net, convs, lins = L._load_weights(wpath)
+        assert loaded_net == net
+        assert len(convs) == len(expect)
+        assert len(lins) == 5
+
+
+def test_lpips_pinned_regression(tmp_path):
+    """Numerics regression pin: with FIXED seeded weights and fixed inputs
+    the LPIPS value must not drift (guards conv/pool/normalize wiring; NOT
+    an official-weights golden — those cannot enter this image)."""
+    from gs_icp_slam_tpu.eval.lpips import lpips, make_random_weights
+
+    wpath = str(tmp_path / "w.npz")
+    make_random_weights(wpath, seed=7)
+    rng = np.random.default_rng(42)
+    a = rng.uniform(size=(3, 32, 32)).astype(np.float32)
+    b = rng.uniform(size=(3, 32, 32)).astype(np.float32)
+    import jax.numpy as jnp
+    d = float(lpips(jnp.asarray(a), jnp.asarray(b), weights=wpath)[0])
+    # value computed at the time this test was written; tolerance covers
+    # backend-dependent conv reduction order
+    assert abs(d - 0.0132214) < 2e-4, d
+
+
 def test_lpips_unavailable_raises(monkeypatch):
     # the MODULE, not the re-exported function shadowing it in eval.__init__
     import importlib

@@ -202,7 +202,7 @@ class TestGICP:
 
         target, _, _ = target_from_points(jnp.asarray(target_pts), valid, cfg)
         source = make_source(jnp.asarray(src.astype(np.float32)), valid, cfg)
-        T_est, n_iters = gicp_align(source, target, jnp.eye(4), cfg)
+        T_est, n_iters, _, _ = gicp_align(source, target, jnp.eye(4), cfg)
         T_est = np.asarray(T_est)
         np.testing.assert_allclose(T_est[:3, 3], T_true[:3, 3], atol=2e-3)
         np.testing.assert_allclose(T_est[:3, :3], T_true[:3, :3], atol=2e-3)
@@ -220,5 +220,5 @@ class TestGICP:
         target, _, _ = target_from_points(jnp.asarray(target_pts), valid_t, cfg)
         source = make_source(jnp.asarray(src.astype(np.float32)), valid_s, cfg)
         # init with identity (constant-position motion model)
-        T_est, _ = gicp_align(source, target, jnp.eye(4), cfg)
+        T_est, _, _, _ = gicp_align(source, target, jnp.eye(4), cfg)
         np.testing.assert_allclose(np.asarray(T_est)[:3, 3], T_true[:3, 3], atol=5e-3)

@@ -160,15 +160,18 @@ def test_gradcheck_vs_numerical():
 
 
 def test_visible_cap_keeps_front():
-    """Overflowing visible_cap must drop the FARTHEST splats."""
+    """Overflowing visible_cap must drop the FARTHEST splats — regardless
+    of slot order (the scene is shuffled so index order != depth order)."""
     n = 32
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(n)  # scatter depths across slots
     xyz = np.zeros((n, 3), np.float32)
-    xyz[:, 2] = np.linspace(1.0, 5.0, n)  # all at screen center
+    xyz[:, 2] = np.linspace(1.0, 5.0, n)[perm]  # all at screen center
     quat = np.tile(np.array([0, 0, 0, 1], np.float32), (n, 1))
     scale = np.full((n, 3), 0.05, np.float32)
     opacity = np.full((n,), 0.9, np.float32)
     sh = np.zeros((n, 1, 3), np.float32)
-    sh[0] = 1.0  # nearest is bright
+    sh[np.argmin(xyz[:, 2])] = 1.0  # nearest is bright
     args = tuple(map(jnp.asarray, (xyz, quat, scale, opacity, sh)))
     live = jnp.ones((n,), bool)
     full = _tiled(*args, live, visible_cap=32)
@@ -177,6 +180,42 @@ def test_visible_cap_keeps_front():
     cy, cxp = H // 2, W // 2
     np.testing.assert_allclose(np.asarray(capped.color[:, cy, cxp]),
                                np.asarray(full.color[:, cy, cxp]), atol=1e-3)
+    # the cap overflow is REPORTED, not silent (VERDICT r1 item 4)
+    n_vis = int(full.stats[0])
+    assert int(capped.stats[1]) == max(n_vis - 8, 0)
+    assert int(full.stats[1]) == 0
+
+
+def test_tile_cap_overflow_reported():
+    """Exceeding the per-tile list capacity increments stats[2]."""
+    # pile many splats onto one tile
+    n = 64
+    xyz = np.zeros((n, 3), np.float32)
+    xyz[:, 2] = np.linspace(1.0, 2.0, n)
+    quat = np.tile(np.array([0, 0, 0, 1], np.float32), (n, 1))
+    scale = np.full((n, 3), 0.02, np.float32)
+    opacity = np.full((n,), 0.5, np.float32)
+    sh = np.zeros((n, 1, 3), np.float32)
+    args = tuple(map(jnp.asarray, (xyz, quat, scale, opacity, sh)))
+    live = jnp.ones((n,), bool)
+    out = _tiled(*args, live, tile_cap=8, visible_cap=128)
+    assert int(out.stats[2]) > 0
+    ok = _tiled(*args, live, tile_cap=128, visible_cap=128)
+    assert int(ok.stats[2]) == 0
+
+
+def test_tiled_matches_dense_at_production_caps():
+    """Dense-oracle agreement at the PRODUCTION tile_span=3/tile_cap=256
+    settings (config.py RenderConfig) on a denser scene: the caps must not
+    change the image when they do not overflow (stats say they don't)."""
+    scene = _scene(192, seed=11, spread=0.9)
+    ref_color, ref_depth, _, _ = _dense(*scene, tile_span=3)
+    out = _tiled(*scene, tile_span=3, tile_cap=256, visible_cap=256)
+    assert int(out.stats[1]) == 0 and int(out.stats[2]) == 0
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref_color),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref_depth),
+                               atol=2e-2)
 
 
 def test_pallas_compositor_matches_xla():
