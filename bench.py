@@ -81,11 +81,22 @@ def main():
     elapsed = time.time() - t0
     fps = TIMED / elapsed
 
+    # quality alongside speed (VERDICT r1): render the latest keyframe at
+    # the final map and report its PSNR in the same JSON line
+    from gs_icp_slam_tpu.models import map_params
+    params = map_params(state.gmap)
+    _, psnr = eng.fused.render_eval(params, state.gmap.live,
+                                    state.kf_w2c[0], state.kf_rgb[0],
+                                    state.kf_depth[0])
+    psnr = float(jax.device_get(psnr))
+
     print(json.dumps({
         "metric": "slam_system_fps_replica_load_1chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 4),
+        "psnr_kf0_db": round(psnr, 2),
+        "num_gaussians": int(jax.device_get(state.gmap.num_live)),
     }))
 
 

@@ -2,6 +2,7 @@ from .base import RGBDFrame, RGBDSequence
 from .synthetic import SyntheticScene, synthetic_sequence
 from .replica import ReplicaSequence
 from .tum import TumSequence
+from .scene import SceneInfo, load_scene
 
 
 def open_dataset(dataset_type: str, path: str = "", **kw) -> RGBDSequence:
@@ -18,4 +19,4 @@ def open_dataset(dataset_type: str, path: str = "", **kw) -> RGBDSequence:
 
 __all__ = ["RGBDFrame", "RGBDSequence", "SyntheticScene",
            "synthetic_sequence", "ReplicaSequence", "TumSequence",
-           "open_dataset"]
+           "open_dataset", "load_scene", "SceneInfo"]

@@ -1,0 +1,131 @@
+"""Offline Scene loaders — the vanilla-3DGS `Scene` entry points the
+reference keeps for its offline render/eval path (scene/__init__.py:22,
+sceneLoadTypeCallbacks at scene/dataset_readers.py:420-423).
+
+Three readers, dispatched by `load_scene`:
+  * "colmap": a COLMAP sparse model (cameras/images/points3D via
+    io/colmap.py) — vanilla-3DGS training inputs.
+  * "slam": a GS-ICP-SLAM-style capture directory (caminfo.txt +
+    images/ + depth_images/, dataset_readers.py:314,190-234).  The
+    reference fills identity poses (readSLAMCameras:201-202) and patches
+    them from the tracker's final_pose afterwards; here poses.npy /
+    poses.txt in the directory is honored when present.
+  * auto: `load_scene(path)` picks by what exists on disk.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class CameraInfo:
+    uid: int
+    w2c: np.ndarray            # (4, 4) world-to-camera
+    width: int
+    height: int
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    image_path: str
+    depth_path: Optional[str] = None
+    depth_scale: float = 1.0
+
+
+@dataclass(frozen=True)
+class SceneInfo:
+    cameras: list
+    points_xyz: Optional[np.ndarray] = None   # (N, 3)
+    points_rgb: Optional[np.ndarray] = None   # (N, 3) uint8
+    ply_path: Optional[str] = None
+
+
+def load_colmap_scene(path: str, images_dir: str = "images") -> SceneInfo:
+    """COLMAP capture: poses + intrinsics from sparse/0, image files from
+    `images_dir` (readColmapSceneInfo parity)."""
+    from ..io.colmap import load_colmap_model
+
+    sparse = os.path.join(path, "sparse", "0")
+    if not os.path.isdir(sparse):
+        sparse = os.path.join(path, "sparse")
+    cams, imgs, xyz, rgb = load_colmap_model(sparse)
+    infos = []
+    for iid in sorted(imgs):
+        im = imgs[iid]
+        cam = cams[im.camera_id]
+        infos.append(CameraInfo(
+            uid=iid, w2c=im.w2c(), width=cam.width, height=cam.height,
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            image_path=os.path.join(path, images_dir, im.name)))
+    return SceneInfo(cameras=infos, points_xyz=xyz, points_rgb=rgb)
+
+
+def load_slam_scene(path: str, images_dir: str = "images") -> SceneInfo:
+    """GS-ICP-SLAM capture directory: caminfo.txt line 3 holds
+    `W H fx fy cx cy depth_scale depth_trunc dataset_type`
+    (configs/Replica/caminfo.txt, parsed at gs_icp_slam.py:52-62)."""
+    with open(os.path.join(path, "caminfo.txt")) as f:
+        lines = f.readlines()
+    p = lines[2].split()
+    width, height = int(p[0]), int(p[1])
+    fx, fy, cx, cy = (float(v) for v in p[2:6])
+    depth_scale = float(p[6])
+    dataset_type = p[8] if len(p) > 8 else "replica"
+
+    img_dir = os.path.join(path, images_dir)
+    names = sorted(os.listdir(img_dir))
+    poses = _load_poses(path, len(names))
+    infos = []
+    for i, name in enumerate(names):
+        stem = name.split(".")[0]
+        if dataset_type == "replica":
+            depth_name = f"depth{stem[5:]}.png"  # frameXXXX -> depthXXXX
+        else:
+            depth_name = f"{stem}.png"
+        dpath = os.path.join(path, "depth_images", depth_name)
+        infos.append(CameraInfo(
+            uid=i, w2c=poses[i], width=width, height=height,
+            fx=fx, fy=fy, cx=cx, cy=cy,
+            image_path=os.path.join(img_dir, name),
+            depth_path=dpath if os.path.exists(dpath) else None,
+            depth_scale=depth_scale))
+    ply = os.path.join(path, "scene.ply")
+    return SceneInfo(cameras=infos,
+                     ply_path=ply if os.path.exists(ply) else None)
+
+
+def _load_poses(path: str, n: int) -> np.ndarray:
+    """poses.npy / poses.txt (c2w, one 4x4 per frame) if saved by a run;
+    identity otherwise (the reference's readSLAMCameras default)."""
+    npy = os.path.join(path, "poses.npy")
+    txt = os.path.join(path, "poses.txt")
+    if os.path.exists(npy):
+        c2w = np.load(npy)
+    elif os.path.exists(txt):
+        c2w = np.loadtxt(txt).reshape(-1, 4, 4)
+    else:
+        return np.tile(np.eye(4), (n, 1, 1))
+    w2c = np.linalg.inv(c2w)
+    return w2c[:n]
+
+
+def load_scene(path: str, kind: Optional[str] = None, **kw) -> SceneInfo:
+    """Auto-dispatch like sceneLoadTypeCallbacks: COLMAP if a sparse/
+    model exists, SLAM if caminfo.txt does."""
+    if kind is None:
+        if (os.path.isdir(os.path.join(path, "sparse"))):
+            kind = "colmap"
+        elif os.path.exists(os.path.join(path, "caminfo.txt")):
+            kind = "slam"
+        else:
+            raise FileNotFoundError(
+                f"{path}: neither sparse/ (COLMAP) nor caminfo.txt (SLAM)")
+    if kind == "colmap":
+        return load_colmap_scene(path, **kw)
+    if kind == "slam":
+        return load_slam_scene(path, **kw)
+    raise ValueError(kind)

@@ -1,12 +1,18 @@
 """Per-stage timing of the fused SLAM frame at bench load.
 
 Builds a representative mid-run state (synthetic scene at Replica geometry,
-same config as bench.py), then times each stage of the frame step as its
-own jitted function: tracking, insert, target export, raster fwd, raster
-fwd+bwd, adam, full mapping iter, full fused step.
+same config as bench.py), then times each stage of the frame step.
+
+Timing method: each stage runs R times INSIDE one jit (lax.scan, salted to
+defeat CSE/hoisting), synced once; per-op cost = (t(R) - t(1)) / (R - 1).
+This cancels the remote-dispatch round-trip (5-150 ms on the axon relay
+depending on congestion) that makes naive per-call timing unusable.
+
+Pass --buckets to measure at the engine's capacity buckets (bench path).
 """
 from __future__ import annotations
 
+import argparse
 import dataclasses
 import os
 import sys
@@ -19,29 +25,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, reps=20, warmup=3, **kw):
-    for _ in range(warmup):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps * 1000.0  # ms
+from gs_icp_slam_tpu.utils.profiling import slope_time  # noqa: E402
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--buckets", action="store_true",
+                    help="measure at engine-picked capacity buckets")
+    ap.add_argument("--reps", type=int, default=8)
+    args_cli = ap.parse_args()
+
     from gs_icp_slam_tpu.config import synthetic_config
     from gs_icp_slam_tpu.datasets import open_dataset
     from gs_icp_slam_tpu.slam import FusedEngine
-    from gs_icp_slam_tpu.slam.fused import to_chw, make_fused_step
+    from gs_icp_slam_tpu.slam.fused import (make_mapping_primitives, to_chw)
     from gs_icp_slam_tpu.slam.state import init_state
-    from gs_icp_slam_tpu.models import map_params
+    from gs_icp_slam_tpu.models import (adam_step, map_lr_tree, map_params,
+                                        trackable_export)
     from gs_icp_slam_tpu.ops.gicp import (gicp_align, make_source,
-                                          source_correspondences)
-    from gs_icp_slam_tpu.ops.rasterize import rasterize_tiled
-    from gs_icp_slam_tpu.utils.losses import mapping_loss
-    from functools import partial
+                                          target_from_gaussians)
 
     width, height = 1200, 680
     NWARM = 12
@@ -59,11 +61,15 @@ def main():
     rgbs = [to_chw(f.rgb) for f in frames]
     pose0 = np.asarray(frames[0].gt_c2w, np.float32)
     state = init_state(cfg, NWARM + 2, pose0)
+    nb = tb = None
     for i in range(NWARM):
-        state = eng.fused.step(state, depths[i], rgbs[i], jnp.bool_(False))
-    jax.block_until_ready(state.gmap.xyz)
-    print("num_live:", int(jax.device_get(state.gmap.num_live)),
-          "kf_count:", int(jax.device_get(state.kf_count)))
+        state = eng.fused.step(state, depths[i], rgbs[i], jnp.bool_(False),
+                               nb, tb)
+    n_live = int(jax.device_get(state.gmap.num_live))
+    if args_cli.buckets:
+        nb, tb = eng._pick_buckets(int(jax.device_get(state.gmap.n)))
+    print(f"num_live: {n_live} kf_count:",
+          int(jax.device_get(state.kf_count)), f"buckets: {nb} {tb}")
 
     intr = cfg.intr
     filt = eng.filt
@@ -72,10 +78,13 @@ def main():
     y_pre = jnp.asarray(filt.y_pre)
     depth_raw, rgb_u8 = depths[NWARM], rgbs[NWARM]
 
-    # ---- stage fns ----
-    @jax.jit
+    prim = make_mapping_primitives(cfg, n_cap=nb)
+    lrs = map_lr_tree(cfg.opt)
+    tc = cfg.engine.target_capacity
+
     def preprocess(depth_raw, rgb_u8):
-        z = depth_raw.reshape(-1)[flat_idxs].astype(jnp.float32) / intr.depth_scale
+        z = (depth_raw.reshape(-1)[flat_idxs].astype(jnp.float32)
+             / intr.depth_scale)
         colors = (rgb_u8.reshape(3, -1)[:, flat_idxs].T.astype(jnp.float32)
                   / 255.0)
         points = jnp.stack([x_pre * z, y_pre * z, z], axis=-1)
@@ -83,134 +92,116 @@ def main():
         trackable = valid & (z <= intr.depth_trunc)
         return points, colors, valid, trackable
 
-    points, colors, valid, trackable = preprocess(depth_raw, rgb_u8)
-
-    @jax.jit
-    def mk_source(points, valid, trackable):
-        return make_source(points, valid, cfg.gicp, trackable=trackable)
-
-    source = mk_source(points, valid, trackable)
+    points, colors, valid, trackable = jax.jit(preprocess)(depth_raw, rgb_u8)
+    source = jax.jit(lambda p, v, t: make_source(p, v, cfg.gicp,
+                                                 trackable=t))(
+        points, valid, trackable)
     init_T = state.poses[NWARM - 1]
 
-    @jax.jit
-    def track(source, target, init_T):
-        return gicp_align(source, target, init_T, cfg.gicp)
+    # bucket-sliced views for the tracking stages
+    if tb is not None:
+        from gs_icp_slam_tpu.ops.gicp import GICPTarget
+        tgt = GICPTarget(points=state.target.points[:, :tb],
+                         cov6=state.target.cov6[:, :tb],
+                         valid=state.target.valid[:tb],
+                         nn_bias=state.target.nn_bias[:, :tb])
+    else:
+        tgt = state.target
 
-    T_est, n_iters, _, _ = track(source, state.target, init_T)
-    print("gicp iters:", int(jax.device_get(n_iters)))
+    gmap_v = state.gmap
+    if nb is not None:
+        from gs_icp_slam_tpu.models import GaussianMap
+        gmap_v = GaussianMap(**{
+            f: (getattr(state.gmap, f) if f == "n"
+                else getattr(state.gmap, f)[:nb])
+            for f in state.gmap._fields})
 
-    @jax.jit
-    def corr(T, pts, target):
-        return source_correspondences(T, pts, target)
-
-    # export target
-    from gs_icp_slam_tpu.models import trackable_export
-    from gs_icp_slam_tpu.ops.gicp import target_from_gaussians
-    tc = cfg.engine.target_capacity
-
-    @jax.jit
-    def export(gmap):
-        pts, rots, scales, v = trackable_export(
-            gmap, cfg.map.trackable_opacity_th, tc)
-        return target_from_gaussians(pts, rots, scales, v, cfg.gicp,
-                                     capacity=tc)
-
-    # raster fwd / fwd+bwd
-    rcfg = cfg.render
-    bg = jnp.asarray(rcfg.bg_color, jnp.float32)
-    fx, fy = intr.fx, intr.fy
-    rcx, rcy = (intr.width - 1) / 2.0, (intr.height - 1) / 2.0
-    raster = partial(
-        rasterize_tiled, sh_degree=cfg.map.sh_degree, width=intr.width,
-        height=intr.height, tile=rcfg.tile_size,
-        visible_cap=rcfg.visible_capacity, tile_span=rcfg.tile_span,
-        tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk,
-        want_used=False)
-
-    params = map_params(state.gmap)
-    live = state.gmap.live
+    params = map_params(gmap_v)
+    live = gmap_v.live
     w2c = state.kf_w2c[0]
-    gt_img = state.kf_rgb[0].astype(jnp.float32) / 255.0
-    gt_depth = state.kf_depth[0] / intr.depth_scale
+    rgb0 = state.kf_rgb[0]
+    dep0 = state.kf_depth[0]
 
-    def _sh(p):
-        return jnp.concatenate([p["f_dc"][:, None, :], p["f_rest"]], axis=1)
+    adam0 = jax.tree.map(jnp.zeros_like, params)
+    from gs_icp_slam_tpu.models import AdamState
+    adam_st = AdamState(m=adam0, v=jax.tree.map(jnp.zeros_like, params),
+                        step=jnp.int32(1))
+    _, grads = jax.jit(jax.value_and_grad(
+        lambda p: prim.opt_loss(p, live, w2c, rgb0, dep0)[0]))(params)
 
-    @jax.jit
-    def raster_fwd(params, live, w2c):
-        out = raster(params["xyz"], params["rotation"],
-                     jnp.exp(params["log_scaling"]),
-                     jax.nn.sigmoid(params["opacity_logit"][:, 0]),
-                     _sh(params), w2c, live, bg, fx, fy, rcx, rcy)
-        return out.color, out.depth
-
-    @jax.jit
-    def loss_grad(params, live, w2c, gt_img, gt_depth):
-        def loss_fn(p):
-            out = raster(p["xyz"], p["rotation"], jnp.exp(p["log_scaling"]),
-                         jax.nn.sigmoid(p["opacity_logit"][:, 0]), _sh(p),
-                         w2c, live, bg, fx, fy, rcx, rcy)
-            loss, _ = mapping_loss(out.color, out.depth, gt_img, gt_depth,
-                                   lambda_dssim=cfg.opt.lambda_dssim,
-                                   depth_weight=cfg.opt.depth_loss_weight,
-                                   d_max=cfg.opt.depth_d_max)
-            return loss
-        return jax.value_and_grad(loss_fn)(params)
-
-    @jax.jit
-    def loss_only(params, live, w2c, gt_img, gt_depth):
-        out = raster(params["xyz"], params["rotation"],
-                     jnp.exp(params["log_scaling"]),
-                     jax.nn.sigmoid(params["opacity_logit"][:, 0]),
-                     _sh(params), w2c, live, bg, fx, fy, rcx, rcy)
-        loss, _ = mapping_loss(out.color, out.depth, gt_img, gt_depth,
-                               lambda_dssim=cfg.opt.lambda_dssim,
-                               depth_weight=cfg.opt.depth_loss_weight,
-                               d_max=cfg.opt.depth_d_max)
-        return loss
-
-    from gs_icp_slam_tpu.models import adam_step, map_lr_tree
-    lrs = map_lr_tree(cfg.opt)
-
-    _, grads = loss_grad(params, live, w2c, gt_img, gt_depth)
-
-    @jax.jit
-    def adam(params, grads, adam_st):
-        return adam_step(params, grads, adam_st, lrs, live,
-                         b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2,
-                         eps=cfg.opt.adam_eps)
+    out_cap = tc if nb is None else min(tc, nb)
 
     stages = {
-        "preprocess": lambda: preprocess(depth_raw, rgb_u8),
-        "make_source(knn+cov)": lambda: mk_source(points, valid, trackable),
-        "gicp_align": lambda: track(source, state.target, init_T),
-        "source_corr": lambda: corr(T_est, source.points, state.target),
-        "export_target": lambda: export(state.gmap),
-        "raster_fwd": lambda: raster_fwd(params, live, w2c),
-        "loss_only(fwd+ssim)": lambda: loss_only(params, live, w2c, gt_img,
-                                                 gt_depth),
-        "loss_grad(fwd+bwd)": lambda: loss_grad(params, live, w2c, gt_img,
-                                                gt_depth),
-        "adam_step": lambda: adam(params, grads, state.adam),
+        "preprocess": lambda s: preprocess(depth_raw + s, rgb_u8),
+        "make_source(knn+cov)": lambda s: make_source(
+            points + s, valid, cfg.gicp, trackable=trackable),
+        "gicp_align": lambda s: gicp_align(
+            source._replace(points=source.points + s), tgt, init_T,
+            cfg.gicp),
+        "export_target": lambda s: target_from_gaussians(
+            *trackable_export(gmap_v._replace(xyz=gmap_v.xyz + s),
+                              cfg.map.trackable_opacity_th, out_cap),
+            cfg.gicp, capacity=tc),
+        "raster_fwd": lambda s: prim.raster(
+            params["xyz"] + s, params["rotation"],
+            jnp.exp(params["log_scaling"]),
+            jax.nn.sigmoid(params["opacity_logit"][:, 0]),
+            prim.sh_concat(params), w2c, live,
+            jnp.zeros((3,), jnp.float32), intr.fx, intr.fy,
+            (intr.width - 1) / 2, (intr.height - 1) / 2).color,
+        "opt_loss(fwd+ssim)": lambda s: prim.opt_loss(
+            {**params, "xyz": params["xyz"] + s}, live, w2c, rgb0, dep0)[0],
+        "loss_grad(fwd+bwd)": lambda s: jax.grad(
+            lambda p: prim.opt_loss(p, live, w2c, rgb0, dep0)[0])(
+            {**params, "xyz": params["xyz"] + s}),
+        "adam_step": lambda s: adam_step(
+            {**params, "xyz": params["xyz"] + s}, grads, adam_st, lrs,
+            live, b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2,
+            eps=cfg.opt.adam_eps),
+        "full opt_step": lambda s: prim.opt_step(
+            {**params, "xyz": params["xyz"] + s}, adam_st, live, w2c,
+            rgb0, dep0)[2],
     }
+    measured = {}
     for name, fn in stages.items():
-        ms = timeit(fn)
-        print(f"{name:24s} {ms:8.2f} ms")
+        ms = slope_time(fn, R=args_cli.reps)
+        measured[name] = ms
+        print(f"{name:24s} {ms:8.2f} ms", flush=True)
 
-    # fused step donates its state arg: time it by ping-ponging the state
-    # through successive calls (same as the real frame loop) instead of
-    # re-calling with an already-donated buffer.
+    # roofline: attainable time vs measured for the dominant stages
+    from gs_icp_slam_tpu.utils.profiling import (detect_chip,
+                                                 gicp_iteration_model,
+                                                 raster_forward_model)
+    chip = detect_chip()
+    ncap_eff = nb or cfg.map.capacity
+    vcap_eff = min(cfg.render.visible_capacity, ncap_eff)
+    tiles = (-(-width // 16)) * (-(-height // 16))
+    rfm = raster_forward_model(ncap_eff, vcap_eff, tiles, 16,
+                               cfg.render.max_per_tile,
+                               pairs_real=n_live * 4, occupancy=n_live * 4)
+    att = rfm.attainable_ms(chip)
+    got = measured.get("raster_fwd", 0)
+    print(f"[roofline {chip.name}] raster_fwd attainable ~{att:.2f} ms, "
+          f"measured {got:.2f} ms -> {100 * att / max(got, 1e-9):.0f}% "
+          f"of roofline", flush=True)
+    gim = gicp_iteration_model(filt.num_points, tb or tc)
+    print(f"[roofline {chip.name}] gicp 1 iter attainable "
+          f"~{gim.attainable_ms(chip):.2f} ms", flush=True)
+
+    # fused step: ping-pong wall time (donation-aware), roundtrip included
     st = state
     for r in range(3):
-        st = eng.fused.step(st, depths[NWARM], rgbs[NWARM], jnp.bool_(False))
+        st = eng.fused.step(st, depths[NWARM], rgbs[NWARM],
+                            jnp.bool_(False), nb, tb)
     jax.block_until_ready(st.gmap.xyz)
     t0 = time.perf_counter()
     reps = 20
     for r in range(reps):
-        st = eng.fused.step(st, depths[NWARM], rgbs[NWARM], jnp.bool_(False))
+        st = eng.fused.step(st, depths[NWARM], rgbs[NWARM],
+                            jnp.bool_(False), nb, tb)
     jax.block_until_ready(st.gmap.xyz)
     ms = (time.perf_counter() - t0) / reps * 1000.0
-    print(f"{'fused_full_step':24s} {ms:8.2f} ms")
+    print(f"{'fused_full_step (wall)':24s} {ms:8.2f} ms")
 
 
 if __name__ == "__main__":
