@@ -272,6 +272,14 @@ class SLAMEngine:
                 jnp.asarray(self.kf_w2c[i]), jnp.asarray(self.kf_rgb[i]),
                 jnp.asarray(self.kf_depth[i]))
             self._last_stats = stats
+        # cap-overflow observability (device sync amortized: once per
+        # mapping batch, not per iteration)
+        last = getattr(self, "_last_stats", None)
+        s = (np.asarray(jax.device_get(last)) if last is not None
+             else np.zeros(3, np.int32))
+        self._vis_dropped = max(getattr(self, "_vis_dropped", 0), int(s[1]))
+        self._pair_dropped = max(getattr(self, "_pair_dropped", 0),
+                                 int(s[2]))
         self.gmap = with_params(self.gmap, params)
 
     # ------------------------------------------------------------------
@@ -388,4 +396,6 @@ class SLAMEngine:
         return SLAMResult(poses=poses, gt_poses=gt, ate_rmse=ate, fps=fps,
                           num_gaussians=int(self.gmap.num_live),
                           psnr=psnr_mean, per_frame_psnr=per_frame,
-                          kf_total=self.kf_total, kf_stored=self.kf_count)
+                          kf_total=self.kf_total, kf_stored=self.kf_count,
+                          vis_cap_dropped=getattr(self, "_vis_dropped", 0),
+                          tile_cap_dropped=getattr(self, "_pair_dropped", 0))

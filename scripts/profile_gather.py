@@ -1,16 +1,17 @@
-"""Microbenchmark TPU gather/sort formulations for the raster pipeline.
+"""Decisive gather A/B for the rasterizer redesign (slope-timed, see
+utils/profiling.slope_time).  Variants map to design choices:
 
-Timing method: each op runs R times INSIDE one jit (lax.scan with a data
-dependency through an accumulator), synced once by device_get; per-op cost
-= (t(R) - t(1)) / (R - 1).  This cancels both the remote-dispatch
-round-trip (~5 ms on the axon relay) and any backend congestion, which
-made naive per-call timings useless.
+  g1  plain lane gather (16, M) flat idx     - is the raw gather fast?
+  g2  g1 + swapaxes to (T, 16, K)            - does the layout swap cost?
+  g3  composed two-level gather (current)     - rasterize.py's formulation
+  g4  1D i32 key gather (ranges stage)        - tile_list build component
+  g5  payload gather (10, 9V) + transpose     - the pair-payload design
+  g6  scatter-add (16, V) from M rows         - the backward's cost class
 """
 from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -18,34 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def bench(make_body, *args, R=16, reps=3):
-    """make_body(*args, salt) -> scalar; salt breaks CSE across iters."""
-    def runner(n):
-        @jax.jit
-        def f(*a):
-            def step(acc, i):
-                # i (i32) salts the body so iterations can't be CSE'd;
-                # acc threads a data dependency between them
-                salt = i + (acc * 0).astype(jnp.int32)
-                return acc + make_body(*a, salt), None
-            acc, _ = jax.lax.scan(step, jnp.float32(0),
-                                  jnp.arange(n, dtype=jnp.int32))
-            return acc
-        return f
-
-    ts = {}
-    for n in (1, R):
-        f = runner(n)
-        s = f(*args)
-        jax.device_get(s)  # compile+warm
-        best = 1e9
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.device_get(f(*args))
-            best = min(best, time.perf_counter() - t0)
-        ts[n] = best
-    return (ts[R] - ts[1]) / (R - 1) * 1000  # ms per op
+from gs_icp_slam_tpu.utils.profiling import slope_time  # noqa: E402
 
 
 def main():
@@ -54,71 +28,43 @@ def main():
     V = 1 << 16
     T, K = 3225, 256
     R = 16
+    M = T * K
+    NP9 = 9 * V
 
     table = jnp.asarray(rng.normal(size=(R, N + 1)).astype(np.float32))
+    table_v = jnp.asarray(rng.normal(size=(10, V + 1)).astype(np.float32))
     vis_order = jnp.asarray(rng.integers(0, N, V + 1).astype(np.int32))
     tile_list = jnp.asarray(rng.integers(0, V + 1, (T, K)).astype(np.int32))
-    key_s = jnp.asarray(np.sort(rng.integers(0, 2 ** 30, 9 * V))
+    full_flat = jnp.asarray(rng.integers(0, N + 1, M).astype(np.int32))
+    key_s = jnp.asarray(np.sort(rng.integers(0, 2 ** 30, NP9))
                         .astype(np.int32))
-    gpos = jnp.asarray(rng.integers(0, 9 * V, (T, K)).astype(np.int32))
-    full_list = jnp.asarray(rng.integers(0, N + 1, (T, K)).astype(np.int32))
+    gpos = jnp.asarray(rng.integers(0, NP9, (T, K)).astype(np.int32))
+    pair_slot = jnp.asarray(rng.integers(0, V + 1, NP9).astype(np.int32))
+    grad = jnp.asarray(rng.normal(size=(10, NP9)).astype(np.float32))
 
-    def run(name, body, *args):
-        print(f"{name:38s} {bench(body, *args):8.3f} ms", flush=True)
+    def salt_i(s):
+        # 0/1 at runtime, data-dependent so iterations can't be CSE'd,
+        # and small enough to keep the index distribution representative
+        return jnp.abs((s * 1e30).astype(jnp.int32)) % 2
 
-    run("sum 16MB (bandwidth floor)",
-        lambda t, s: jnp.sum(t * (1.0 + 1e-9 * s)), table)
-    run("1D-table i32 gather (T,K) from 64k",
-        lambda vo, tl, s: jnp.sum((vo[tl + s * 0]).astype(jnp.float32)),
-        vis_order, tile_list)
-    run("1D-table i32 gather (T,K) from 589k",
-        lambda k, g, s: jnp.sum((k[g + s * 0]).astype(jnp.float32)),
-        key_s, gpos)
-    run("attr lane gather (16,T,K)",
-        lambda t, fl, s: jnp.sum(t[:, fl + s * 0]), table, full_list)
-    run("attr lane gather + swapaxes",
-        lambda t, fl, s: jnp.sum(
-            jnp.swapaxes(t[:, fl + s * 0], 0, 1) * 1.0000001),
-        table, full_list)
-    run("composed 2-level gather + swap",
-        lambda t, vo, tl, s: jnp.sum(
-            jnp.swapaxes(t[:, vo[tl + s * 0]], 0, 1) * 1.0000001),
-        table, vis_order, tile_list)
-
-    qs = (jnp.arange(T + 1, dtype=jnp.int32) << 17)
-    run("searchsorted scan_unrolled 3226q",
-        lambda k, q, s: jnp.sum(jnp.searchsorted(
-            k, q + s * 0, method="scan_unrolled").astype(jnp.float32)),
-        key_s, qs)
-
-    keys = jnp.asarray(rng.integers(0, 2 ** 30, 9 * V).astype(np.int32))
-    run("sort 589k 1-op i32",
-        lambda k, s: jnp.sum(jax.lax.sort(k + s * 0).astype(jnp.float32)),
-        keys)
-    depth = jnp.asarray(rng.normal(size=N).astype(np.float32))
-    iota = jnp.arange(N, dtype=jnp.int32)
-    run("sort 256k 2-op f32+i32",
-        lambda d, i, s: jnp.sum(jax.lax.sort(
-            (d + s * 0.0, i), num_keys=1)[1].astype(jnp.float32)),
-        depth, iota)
-    # smaller-N variants (capacity bucketing payoff)
-    run("sort 64k 2-op f32+i32",
-        lambda d, i, s: jnp.sum(jax.lax.sort(
-            (d[:65536] + s * 0.0, i[:65536]), num_keys=1)[1]
-            .astype(jnp.float32)),
-        depth, iota)
-    run("sort 147k 1-op i32 (pairs @ V=16k)",
-        lambda k, s: jnp.sum(jax.lax.sort(k[:147456] + s * 0)
-                             .astype(jnp.float32)),
-        keys)
-
-    # scatter-add (gather backward)
-    g = jnp.asarray(rng.normal(size=(R, T * K)).astype(np.float32))
-    flat = full_list.reshape(-1)
-    run("scatter-add back (16, N)",
-        lambda gr, i, s: jnp.sum(jnp.zeros((R, N + 1), jnp.float32)
-                                 .at[:, i + s * 0].add(gr)),
-        g, flat)
+    cases = {
+        "g1 lane gather (16,M)": lambda s: table[:, full_flat + salt_i(s)],
+        "g2 g1+reshape+swap (T,16,K)": lambda s: jnp.swapaxes(
+            table[:, (full_flat + salt_i(s)).reshape(T, K)], 0, 1),
+        "g3 composed 2-level (current)": lambda s: jnp.swapaxes(
+            table[:, jnp.concatenate(
+                [vis_order[:-1],
+                 jnp.full((1,), N, jnp.int32)])[tile_list + salt_i(s)]],
+            0, 1),
+        "g4 1D key gather 825k": lambda s: key_s[gpos + salt_i(s)],
+        "g5 payload (10,9V)+transpose": lambda s: jnp.transpose(
+            table_v[:, pair_slot + salt_i(s)]),
+        "g6 scatter-add (10,V)<-9V": lambda s: jnp.zeros(
+            (10, V + 1), jnp.float32).at[:, pair_slot + salt_i(s)].add(grad),
+    }
+    for name, fn in cases.items():
+        ms = slope_time(fn, R=8)
+        print(f"{name:34s} {ms:8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
