@@ -362,6 +362,273 @@ def _bwd_kernel_dyn(counts_ref, attrs_ref, taccs_ref, out_ref, g_ref,
         daT, ident, _CONTRACT_00, preferred_element_type=jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# v3: pair-window compositor — no dense (T, 16, K) gather at all
+# ---------------------------------------------------------------------------
+#
+# The tile-sorted pair array IS contiguous per tile: tile t's splats are
+# payload rows [starts[t], starts[t] + counts[t]).  v2 materialized a
+# dense (T, 16, K) attrs tensor from it with an XLA gather chain measured
+# at ~23 ms/frame (scripts/profile_gather.py: composed 2-level gathers and
+# 1D-table gathers are the slow paths); v3 instead gathers the payload
+# ONCE in pair order — a plain lane gather, the fast path — and hands each
+# tile its window via a scalar-prefetch-driven pl.Element BlockSpec, which
+# Pallas double-buffers like any other block.  The window tail (rows past
+# counts[t]) belongs to the NEXT tile and is masked in-kernel.
+
+def _win_geometry(blk, px, py, tacc, nvalid):
+    """_block_geometry + row-validity mask for the window tail."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (blk.shape[0], 1), 0)
+    ok = (row < nvalid).astype(jnp.float32)
+    mx, my = blk[:, 0:1], blk[:, 1:2]
+    ca, cb, cc = blk[:, 2:3], blk[:, 3:4], blk[:, 4:5]
+    opa = blk[:, 8:9] * ok
+    dx = px - mx
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    araw = opa * jnp.exp(power)
+    gate = (power <= 0.0) & (araw >= ALPHA_MIN)
+    alpha = jnp.where(gate, jnp.minimum(araw, ALPHA_MAX), 0.0)
+    logo = jnp.log1p(-alpha)
+    csum = _cumsum_sublanes(logo)
+    t_next = tacc * jnp.exp(csum)
+    t_before = tacc * jnp.exp(csum - logo)
+    inc = (t_next >= T_EPS).astype(jnp.float32)
+    w = alpha * t_before * inc
+    tacc_out = tacc * jnp.exp(csum[_BKD - 1:_BKD, :])
+    return (dx, dy, power, araw, gate, alpha, t_next, t_before, inc, w,
+            tacc_out)
+
+
+def _win_dma(pay_hbm, starts_ref, buf, sems, slot, t):
+    """HBM->VMEM copy of tile t's (K, 16) payload window (arbitrary row
+    offset; Mosaic rejects pl.Element blocks, so windows are manual DMAs,
+    double-buffered across the sequential grid)."""
+    K = buf.shape[1]
+    return pltpu.make_async_copy(
+        pay_hbm.at[pl.ds(starts_ref[t], K), :], buf.at[slot], sems.at[slot])
+
+
+def _fwd_kernel_win(counts_ref, starts_ref, pay_hbm, out_ref, taccs_ref,
+                    buf, sems, *, ntx: int, tile_px: int, P: int, K: int):
+    t = pl.program_id(0)
+    nT = pl.num_programs(0)
+    slot = jax.lax.rem(t, 2)
+    count = counts_ref[t]
+    nb = (count + _BKD - 1) // _BKD
+
+    @pl.when(t == 0)
+    def _():
+        _win_dma(pay_hbm, starts_ref, buf, sems, 0, 0).start()
+
+    @pl.when(t + 1 < nT)
+    def _():
+        _win_dma(pay_hbm, starts_ref, buf, sems, 1 - slot, t + 1).start()
+
+    _win_dma(pay_hbm, starts_ref, buf, sems, slot, t).wait()
+
+    tx = t % ntx
+    ty = t // ntx
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (tx * tile_px + pid % tile_px).astype(jnp.float32)
+    py = (ty * tile_px + pid // tile_px).astype(jnp.float32)
+
+    def body(i, carry):
+        tacc, cr, cg, cb_, cd, tf = carry
+        taccs_ref[0, pl.ds(i, 1), :] = tacc
+        blk = buf[slot, pl.ds(i * _BKD, _BKD), :]        # (BKD, 16) window
+        (_, _, _, _, _, _, t_next, _, inc, w, tacc_out) = _win_geometry(
+            blk, px, py, tacc, count - i * _BKD)
+        cr = cr + jnp.sum(w * blk[:, 5:6], axis=0, keepdims=True)
+        cg = cg + jnp.sum(w * blk[:, 6:7], axis=0, keepdims=True)
+        cb_ = cb_ + jnp.sum(w * blk[:, 7:8], axis=0, keepdims=True)
+        cd = cd + jnp.sum(w * blk[:, 9:10], axis=0, keepdims=True)
+        tf = jnp.minimum(tf, jnp.min(jnp.where(inc > 0.0, t_next, 3.4e38),
+                                     axis=0, keepdims=True))
+        return tacc_out, cr, cg, cb_, cd, tf
+
+    zero = jnp.zeros((1, P), jnp.float32)
+    one = jnp.ones((1, P), jnp.float32)
+    _, cr, cg, cb_, cd, tf = jax.lax.fori_loop(
+        0, nb, body, (one, zero, zero, zero, zero, one))
+    pad = jnp.zeros((3, P), jnp.float32)
+    out_ref[0] = jnp.concatenate([cr, cg, cb_, cd, tf, pad], axis=0)
+
+
+def _bwd_kernel_win(counts_ref, starts_ref, pay_hbm, taccs_ref, out_ref,
+                    g_ref, dpay_ref, buf, sems, *, ntx: int, tile_px: int,
+                    P: int, K: int):
+    """Reverse walk over the window blocks; gradient written as the DENSE
+    (T, K, 16) per-tile block (disjoint across grid steps — the scatter
+    back to splats happens outside with the slot windows)."""
+    t = pl.program_id(0)
+    nT = pl.num_programs(0)
+    slot = jax.lax.rem(t, 2)
+    count = counts_ref[t]
+    nb = (count + _BKD - 1) // _BKD
+
+    @pl.when(t == 0)
+    def _():
+        _win_dma(pay_hbm, starts_ref, buf, sems, 0, 0).start()
+
+    @pl.when(t + 1 < nT)
+    def _():
+        _win_dma(pay_hbm, starts_ref, buf, sems, 1 - slot, t + 1).start()
+
+    _win_dma(pay_hbm, starts_ref, buf, sems, slot, t).wait()
+
+    tx = t % ntx
+    ty = t // ntx
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (tx * tile_px + pid % tile_px).astype(jnp.float32)
+    py = (ty * tile_px + pid // tile_px).astype(jnp.float32)
+
+    gmat = g_ref[0]
+    g4 = gmat[0:4, :]
+    gtf = gmat[4:5, :]
+    tf = out_ref[0][4:5, :]
+
+    dpay_ref[0] = jnp.zeros((K, 16), jnp.float32)
+
+    def body(ir, suffix):
+        i = nb - 1 - ir
+        tacc = taccs_ref[0, pl.ds(i, 1), :]
+        blk = buf[slot, pl.ds(i * _BKD, _BKD), :]
+        (dx, dy, power, araw, gate, alpha, t_next, t_before, inc, w,
+         _) = _win_geometry(blk, px, py, tacc, count - i * _BKD)
+        a4 = jnp.concatenate([blk[:, 5:8], blk[:, 9:10]], axis=1)
+        dLdw = jax.lax.dot_general(a4, g4, _CONTRACT_STD,
+                                   preferred_element_type=jnp.float32)
+        c = w * dLdw
+        block_total = jnp.sum(c, axis=0, keepdims=True)
+        S = (block_total - _cumsum_sublanes(c)) + suffix
+        o = 1.0 - alpha
+        dalpha = inc * t_before * dLdw - (S + inc * (gtf * tf)) / o
+
+        m = (gate & (araw < ALPHA_MAX)).astype(jnp.float32)
+        dpow = dalpha * m * araw
+        ca, cb, cc = blk[:, 2:3], blk[:, 3:4], blk[:, 4:5]
+
+        def lsum(x):
+            return jnp.sum(x, axis=1, keepdims=True)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (_BKD, 1), 0)
+        ok = (row < (count - i * _BKD)).astype(jnp.float32)
+        dmx = lsum(dpow * (ca * dx + cb * dy))
+        dmy = lsum(dpow * (cc * dy + cb * dx))
+        dca = lsum(dpow * (-0.5 * dx * dx))
+        dcb = lsum(dpow * (-dx * dy))
+        dcc = lsum(dpow * (-0.5 * dy * dy))
+        dr = lsum(w * gmat[0:1, :])
+        dg = lsum(w * gmat[1:2, :])
+        db = lsum(w * gmat[2:3, :])
+        # opacity entered _win_geometry pre-masked (opa = blk[8] * ok);
+        # its gradient must carry the same mask
+        dop = lsum(dalpha * m * jnp.exp(power)) * ok
+        ddep = lsum(w * gmat[3:4, :])
+        dblk = jnp.concatenate(
+            [dmx, dmy, dca, dcb, dcc, dr, dg, db, dop, ddep,
+             jnp.zeros((_BKD, 6), jnp.float32)], axis=1) * ok
+        dpay_ref[0, pl.ds(i * _BKD, _BKD), :] = dblk
+        return suffix + block_total
+
+    jax.lax.fori_loop(0, nb, body, jnp.zeros((1, P), jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
+                       interpret: bool = False):
+    """Window compositor: f(counts (T,), starts (T,), pair_slot (Np,),
+    attr_v16 (16, Vp)) -> (T, 8, P).
+
+    pair_slot[r] is the compacted splat slot of sorted pair row r (slot Vp-1
+    must be a zero splat); tile t owns rows [starts[t], starts[t]+counts[t])
+    and counts are pre-clamped to [0, K].  The payload (Np, 16) is gathered
+    once in XLA (the fast lane-gather path) and windowed into the kernel."""
+    P = tile_px * tile_px
+    NB = K // _BKD
+
+    # payload rows are 128-lane padded (channels in lanes 0..15): Mosaic
+    # DMA slices must be 128-aligned on the lane dim, while row offsets
+    # are free (HBM tiling (1, 128)) — so windows at arbitrary starts
+    # cost 8x bytes but stay single-DMA.  Still ~20x less traffic than
+    # the dense gather chain this replaces.
+    win_scratch = [pltpu.VMEM((2, K, 128), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,))]
+    grid_fwd = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec((1, 8, P), lambda t, c, s: (t, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, NB, P), lambda t, c, s: (t, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=list(win_scratch),
+    )
+    grid_bwd = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((1, NB, P), lambda t, c, s: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, P), lambda t, c, s: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, P), lambda t, c, s: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, K, 16), lambda t, c, s: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=list(win_scratch),
+    )
+
+    def fwd_call(counts, starts, payload):
+        return pl.pallas_call(
+            partial(_fwd_kernel_win, ntx=ntx, tile_px=tile_px, P=P, K=K),
+            grid_spec=grid_fwd,
+            out_shape=[jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
+                       jax.ShapeDtypeStruct((T, NB, P), jnp.float32)],
+            interpret=interpret,
+        )(counts, starts, payload)
+
+    def bwd_call(counts, starts, payload, taccs, out, g):
+        return pl.pallas_call(
+            partial(_bwd_kernel_win, ntx=ntx, tile_px=tile_px, P=P, K=K),
+            grid_spec=grid_bwd,
+            out_shape=jax.ShapeDtypeStruct((T, K, 16), jnp.float32),
+            interpret=interpret,
+        )(counts, starts, payload, taccs, out, g)
+
+    def _payload(pair_slot, attr_v16):
+        pay = attr_v16[:, pair_slot].T                   # (Np, 16) rows
+        return jnp.pad(pay, ((0, 0), (0, 112)))          # 128-lane rows
+
+    @jax.custom_vjp
+    def composite(counts, starts, pair_slot, attr_v16):
+        out, _ = fwd_call(counts, starts, _payload(pair_slot, attr_v16))
+        return out
+
+    def composite_fwd(counts, starts, pair_slot, attr_v16):
+        payload = _payload(pair_slot, attr_v16)
+        out, taccs = fwd_call(counts, starts, payload)
+        return out, (counts, starts, pair_slot, attr_v16.shape[1],
+                     payload, taccs, out)
+
+    def composite_bwd(res, g):
+        counts, starts, pair_slot, Vp, payload, taccs, out = res
+        dblk = bwd_call(counts, starts, payload, taccs, out, g)  # (T,K,16)
+        # slot of each dense (t, k) cell; k >= counts[t] -> Vp (dropped)
+        Np = pair_slot.shape[0]
+        gpos = jnp.minimum(starts[:, None]
+                           + jnp.arange(K, dtype=jnp.int32)[None], Np - 1)
+        hit = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+        slots = jnp.where(hit, pair_slot[gpos], Vp)      # (T, K)
+        d_attr = jnp.zeros((16, Vp + 1), jnp.float32).at[
+            :, slots.reshape(-1)].add(
+            dblk.reshape(T * K, 16).T, mode="drop")[:, :Vp]
+        return None, None, None, d_attr
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite
+
+
 @functools.lru_cache(maxsize=None)
 def make_composite_dyn(T: int, ntx: int, tile_px: int, K: int,
                        interpret: bool = False):

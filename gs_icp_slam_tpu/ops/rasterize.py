@@ -134,7 +134,7 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
                      SENTINEL).reshape(-1)
     key_s = jax.lax.sort(keys)
 
-    # tile t's run is [start[t], start[t+1]); gather beats scatter on TPU
+    # tile t's run is [start[t], start[t+1])
     start = jnp.searchsorted(
         key_s, (jnp.arange(T + 1, dtype=jnp.int32) << S),
         method="scan_unrolled").astype(jnp.int32)
@@ -142,36 +142,58 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
     counts = jnp.minimum(run, K)
     pair_dropped = jnp.sum(run - counts)
     start = start[:-1]
-    gpos = jnp.minimum(start[:, None] + jnp.arange(K, dtype=jnp.int32)[None],
-                       key_s.shape[0] - 1)
-    hit = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
-    tile_list = jnp.where(hit, key_s[gpos] & ((1 << S) - 1), V)    # (T, K)
-
-    # ---- composite --------------------------------------------------------
-    # one composed gather: tile_list -> compacted slot -> original splat row
-    vis_order_p = jnp.concatenate(
-        [vis_order, jnp.full((1,), N, jnp.int32)])   # slot V -> row N (pad)
-    full_list = vis_order_p[tile_list]               # (T, K) int32
-    attr_p = jnp.pad(attr, ((0, 0), (0, 1)))         # zero splat at index N
-    attrs = attr_p[:, full_list]                     # (10, T, K) lane gather
-    attrs = jnp.swapaxes(attrs, 0, 1)                # (T, 10, K)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     P = tile * tile
     if use_pallas and K % 128 == 0 and P % 128 == 0:
-        from .composite_pallas import make_composite_dyn
+        # ---- pair-window composite (no dense tile gather) ---------------
+        # pair_slot is pure arithmetic on the sorted keys; the kernel
+        # reads each tile's contiguous payload window directly
+        # (composite_pallas.make_composite_win).  profile_gather.py: the
+        # dense-gather chain this replaces cost ~23 ms/frame.
+        from .composite_pallas import make_composite_win
 
-        attrs16 = jnp.pad(attrs, ((0, 0), (0, 6), (0, 0)))
-        comp = make_composite_dyn(T, ntx, tile, K,
+        pair_slot = jnp.minimum(key_s & ((1 << S) - 1), V)  # sentinel -> V
+        # slot -> original splat attrs, ONE plain lane gather at V scale;
+        # slot V = zero splat (attr row N of the padded table)
+        vis_order_p = jnp.concatenate(
+            [vis_order, jnp.full((1,), N, jnp.int32)])
+        attr_p = jnp.pad(attr, ((0, 0), (0, 1)))
+        attr_v16 = jnp.pad(attr_p[:, vis_order_p], ((0, 6), (0, 0)))
+        # pad pair rows so the last tiles' windows stay in bounds
+        pair_slot = jnp.concatenate(
+            [pair_slot, jnp.full((K,), V, jnp.int32)])
+
+        comp = make_composite_win(T, ntx, tile, K,
                                   interpret=jax.default_backend() != "tpu")
-        out8 = comp(counts, attrs16)                # (T, 8, P)
+        out8 = comp(counts, start, pair_slot, attr_v16)   # (T, 8, P)
         tfin_px = out8[:, 4]                        # (T, P)
         color_px = out8[:, 0:3] + tfin_px[:, None, :] * bg[None, :, None]
         color_t = jnp.moveaxis(color_px, 1, 2).reshape(T, tile, tile, 3)
         depth_t = out8[:, 3].reshape(T, tile, tile)
         tfin_t = tfin_px.reshape(T, tile, tile)
+        if want_used:
+            gpos = jnp.minimum(
+                start[:, None] + jnp.arange(K, dtype=jnp.int32)[None],
+                key_s.shape[0] - 1)
+            hit = (jnp.arange(K, dtype=jnp.int32)[None, :]
+                   < counts[:, None])
+            tile_list = jnp.where(hit, key_s[gpos] & ((1 << S) - 1), V)
     else:
+        gpos = jnp.minimum(
+            start[:, None] + jnp.arange(K, dtype=jnp.int32)[None],
+            key_s.shape[0] - 1)
+        hit = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+        tile_list = jnp.where(hit, key_s[gpos] & ((1 << S) - 1), V)
+
+        # composed gather: tile_list -> compacted slot -> splat row
+        vis_order_p = jnp.concatenate(
+            [vis_order, jnp.full((1,), N, jnp.int32)])
+        full_list = vis_order_p[tile_list]               # (T, K) int32
+        attr_p = jnp.pad(attr, ((0, 0), (0, 1)))
+        attrs = attr_p[:, full_list]                     # (10, T, K)
+        attrs = jnp.swapaxes(attrs, 0, 1)                # (T, 10, K)
         px_in = jnp.arange(tile, dtype=jnp.float32)
         pgx, pgy = jnp.meshgrid(px_in, px_in, indexing="xy")  # (tile, tile)
 
