@@ -51,6 +51,12 @@ def main():
                            visible_capacity=1 << 16)
     cfg = cfg.replace(engine=dataclasses.replace(
         cfg.engine, mapping_iters_per_frame=2))
+    # experiment knobs (default = production config)
+    tile = int(os.environ.get("GS_BENCH_TILE", "0"))
+    if tile:
+        cfg = cfg.replace(render=dataclasses.replace(
+            cfg.render, tile_size=tile,
+            max_per_tile=int(os.environ.get("GS_BENCH_K", "256"))))
 
     eng = FusedEngine(seq, cfg)
     n = WARMUP + TIMED
@@ -73,10 +79,24 @@ def main():
                            jnp.bool_(False), nb, tb)  # warm this bucket
     int(jax.device_get(state.frame_idx))  # real host sync
 
+    # chunked dispatch: C frames per device call — the remote relay costs
+    # ~16 ms per dispatch (one program per round trip, no queueing), which
+    # would otherwise dominate the 5-15 ms frames
+    C = int(os.environ.get("GS_BENCH_CHUNK", "6"))
+    assert TIMED % C == 0
+    chunks = []
+    for i in range(WARMUP, n, C):
+        chunks.append((
+            jnp.stack(depths[i:i + C]), jnp.stack(rgbs[i:i + C]),
+            jnp.asarray([j == n - 1 for j in range(i, i + C)])))
+    jax.block_until_ready(chunks[-1][0])
+    # warm the chunk compile
+    state = eng.fused.step_chunk(state, *chunks[0], nb, tb)
+    int(jax.device_get(state.frame_idx))
+
     t0 = time.time()
-    for i in range(WARMUP, n):
-        state = eng.fused.step(state, depths[i], rgbs[i],
-                               jnp.bool_(i == n - 1), nb, tb)
+    for ch in chunks:
+        state = eng.fused.step_chunk(state, *ch, nb, tb)
     int(jax.device_get(state.frame_idx))
     elapsed = time.time() - t0
     fps = TIMED / elapsed
@@ -97,6 +117,8 @@ def main():
         "vs_baseline": round(fps / 30.0, 4),
         "psnr_kf0_db": round(psnr, 2),
         "num_gaussians": int(jax.device_get(state.gmap.num_live)),
+        "vis_cap_dropped": int(jax.device_get(state.stat_vis_dropped)),
+        "tile_cap_dropped": int(jax.device_get(state.stat_pair_dropped)),
     }))
 
 

@@ -98,14 +98,26 @@ class EngineConfig:
     fps_cap: Optional[float] = 30.0  # None = unlimited mode
     target_capacity: int = 1 << 18  # trackable target gaussians cap
     keyframe_capacity: int = 256  # stored keyframes (RGB-D + pose)
+    # frames per device dispatch: >1 scans whole chunks on-device, hiding
+    # per-dispatch latency (~16 ms on a tunneled chip) at the cost of
+    # chunk-sized result latency; forced to 1 in viewer/fps_cap modes
+    frames_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)
 class RenderConfig:
-    tile_size: int = 16
-    max_per_tile: int = 256  # per-tile gaussian list capacity (K)
+    # 32-px tiles, not the CUDA kernel's 16: on TPU the per-tile grid-step
+    # overhead dominates at 16 px (3225 tiles/frame at Replica geometry);
+    # 32 px quarters the tile count and halves the pair count for
+    # bit-identical output (bench: 10.7 -> 13.2 FPS; 64 px plateaus)
+    tile_size: int = 32
+    max_per_tile: int = 512  # per-tile gaussian list capacity (K)
     visible_capacity: int = 1 << 17  # per-view visible gaussians cap (V)
-    tile_span: int = 3  # max tiles a splat covers per axis (D)
+    # max tiles a splat covers per axis (D): the pair array is D^2 x V, so
+    # D drives the binning sort/payload size.  2 at 32-px tiles = a 64-px
+    # coverage box — larger than the old 3 x 16-px = 48-px box with less
+    # than half the pairs
+    tile_span: int = 2
     composite_chunk: int = 64  # tiles composited per lax.map step
     znear: float = 0.2  # rasterizer frustum near (CUDA kernel uses 0.2)
     bg_color: tuple = (0.0, 0.0, 0.0)

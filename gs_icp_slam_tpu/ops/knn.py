@@ -96,18 +96,43 @@ def mean_sq_dist_3nn(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "q_chunk"))
+def _topk_smallest_iter(d2: jnp.ndarray, k: int):
+    """k smallest per row by iterative extraction: k passes of
+    (min, argmin, mask) on the (Q, R) block.  For small k this beats
+    lax.top_k on TPU, which lowers to a full per-row sort."""
+    R = d2.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    idxs, vals = [], []
+    for _ in range(k):
+        a = jnp.argmin(d2, axis=1).astype(jnp.int32)       # (Q,)
+        m = jnp.min(d2, axis=1)
+        idxs.append(a)
+        vals.append(m)
+        d2 = jnp.where(lane == a[:, None], _BIG, d2)
+    return (jnp.stack(idxs, axis=1), jnp.stack(vals, axis=1))
+
+
+@partial(jax.jit, static_argnames=("k", "q_chunk", "method"))
 def knn_search(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
-               k: int = 20, q_chunk: int = 1024):
+               k: int = 20, q_chunk: int = 1024, method: str = "auto"):
     """k-NN indices of each query in ref (self included if query == ref).
 
     Processes query chunks against the full reference (distance rows live in
     VMEM-sized blocks); suited to the per-frame source cloud (~10^4 points).
 
+    method: "auto" = Pallas VMEM-resident kernel on TPU when the reference
+    fits (R <= 32k), else "iter"; "iter" extracts the k minima one by one
+    in XLA (k VPU passes — beats "topk"'s per-row lax.top_k sort).
+
     Returns:
       idx: (Q, k) int32, nearest first.
       sqd: (Q, k) float32 (_BIG where fewer than k valid refs exist).
     """
+    if method == "auto":
+        if jax.default_backend() == "tpu" and ref.shape[0] <= (1 << 15):
+            from .nn_pallas import knn_search_pallas
+            return knn_search_pallas(query, ref, ref_valid, k=k)
+        method = "iter"
     Q = query.shape[0]
     pad_q = (-Q) % q_chunk
     if pad_q:
@@ -118,6 +143,8 @@ def knn_search(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
     def body(q):
         d2 = _sq_norms(q)[:, None] - 2.0 * (q @ ref.T) + r_norm[None, :]
         d2 = jnp.where(ref_valid[None, :], d2, _BIG)
+        if method == "iter":
+            return _topk_smallest_iter(d2, k)
         neg_d, idx = jax.lax.top_k(-d2, k)
         return idx.astype(jnp.int32), -neg_d
 

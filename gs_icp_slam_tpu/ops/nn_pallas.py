@@ -110,6 +110,96 @@ def nn_search_pre(query: jnp.ndarray, rT: jnp.ndarray, bias: jnp.ndarray,
     return out_i[:Q, 0], jnp.minimum(out_d[:Q, 0], _BIG)
 
 
+def _knn_kernel(q_ref, r_ref, bias_ref, idx_ref, sqd_ref, *, k: int,
+                kp: int):
+    """k smallest distances by iterative extraction, whole ref resident.
+
+    The (BQ, R) distance block lives in VMEM; k passes of
+    (min, argmin-by-tie-break, mask) emit (BQ, kp) outputs (kp = k padded
+    to the sublane granule).  For the tracking covariance search
+    (Q=R~8k, k=20) this replaces knn.knn_search's lax.top_k (a full
+    per-row sort) and its HBM-materialized distance blocks."""
+    qx = q_ref[:, 0:1]
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
+    rx = r_ref[0:1, :]
+    ry = r_ref[1:2, :]
+    rz = r_ref[2:3, :]
+    bias = bias_ref[...]
+
+    dx = qx - rx
+    dy = qy - ry
+    dz = qz - rz
+    m = dx * dx + dy * dy + dz * dz + bias            # (BQ, R)
+    lane = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+
+    idxs, vals = [], []
+    for _ in range(k):
+        d = jnp.min(m, axis=1, keepdims=True)                    # (BQ, 1)
+        i = jnp.min(jnp.where(m <= d, lane, jnp.int32(2 ** 30)),
+                    axis=1, keepdims=True)
+        idxs.append(i)
+        vals.append(jnp.minimum(d, _BIG))
+        m = jnp.where(lane == i, _BIG, m)
+    pad = kp - k
+    if pad:
+        idxs.append(jnp.zeros((m.shape[0], pad), jnp.int32))
+        vals.append(jnp.full((m.shape[0], pad), _BIG, jnp.float32))
+    idx_ref[...] = jnp.concatenate(idxs, axis=1)
+    sqd_ref[...] = jnp.concatenate(vals, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_knn(q_pad: int, r_pad: int, bq: int, k: int, kp: int,
+              interpret: bool):
+    grid = (q_pad // bq,)
+    return pl.pallas_call(
+        partial(_knn_kernel, k=k, kp=kp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq, 3), lambda qb: (qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, r_pad), lambda qb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_pad), lambda qb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, kp), lambda qb: (qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, kp), lambda qb: (qb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, kp), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, kp), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "bq", "interpret"))
+def knn_search_pallas(query: jnp.ndarray, ref: jnp.ndarray,
+                      ref_valid: jnp.ndarray, k: int = 20, bq: int = 256,
+                      interpret: bool | None = None):
+    """k-NN with the whole reference VMEM-resident (fits for R <~ 64k at
+    bq=256: the (bq, R) distance block is the VMEM budget).  Same contract
+    as knn.knn_search: (idx (Q, k) nearest-first, sqd (Q, k))."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Q = query.shape[0]
+    R = ref.shape[0]
+    r_pad = -(-R // 512) * 512
+    q_pad = -(-Q // bq) * bq
+    kp = -(-k // 8) * 8
+    rT = jnp.zeros((3, r_pad), jnp.float32).at[:, :R].set(ref.T)
+    vmask = jnp.zeros((1, r_pad), bool).at[0, :R].set(ref_valid)
+    bias = jnp.where(vmask, 0.0, _BIG)
+    qS = jnp.zeros((q_pad, 3), jnp.float32).at[:Q].set(query)
+    idx, sqd = _make_knn(q_pad, r_pad, bq, k, kp, interpret)(qS, rT, bias)
+    return idx[:Q, :k], sqd[:Q, :k]
+
+
 @partial(jax.jit, static_argnames=("bq", "br", "interpret"))
 def nn_search_pallas(query: jnp.ndarray, ref: jnp.ndarray,
                      ref_valid: jnp.ndarray, bq: int = 512, br: int = 4096,

@@ -37,7 +37,12 @@ from ..utils.se3 import invert_se3, transform_points
 
 
 class FusedStep(NamedTuple):
-    step: Callable        # (state, depth, rgb_chw, is_last) -> state
+    step: Callable        # (state, depth, rgb_chw, is_last[, nb, tb]) -> state
+    step_chunk: Callable  # (state, depth (C,H,W), rgb (C,3,H,W),
+                          #  is_last (C,)[, nb, tb]) -> state: C frames per
+                          # DISPATCH — the per-call overhead of the remote
+                          # relay (~16 ms measured) amortizes across the
+                          # chunk; use for throughput, step for live mode
     render_eval: Callable  # (params, live, w2c, rgb_chw, depth) -> (img, psnr)
     refine: Callable      # (state,) -> state: REFINE_CHUNK mapping iters
 
@@ -95,13 +100,20 @@ def make_mapping_primitives(cfg: SLAMConfig, mesh=None,
     # pallas switch off the mesh, not the default backend
     use_pallas = (mesh.devices.flat[0].platform == "tpu") if mesh else None
     v_cap = rcfg.visible_capacity
+    tile_cap = rcfg.max_per_tile
     if n_cap is not None:
         v_cap = min(v_cap, n_cap)
+        # per-tile capacity scales with the map bucket: small maps can't
+        # fill deep tile lists, and K drives both the window size and the
+        # backward's dense-gradient scatter (bench: K 512 -> 256 at the
+        # 64k bucket = +2.7 FPS, zero tile_cap_dropped)
+        if n_cap <= (1 << 17):
+            tile_cap = min(tile_cap, 256)
     raster = partial(
         rasterize_tiled, sh_degree=cfg.map.sh_degree, width=intr.width,
         height=intr.height, tile=rcfg.tile_size,
         visible_cap=v_cap, tile_span=rcfg.tile_span,
-        tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk,
+        tile_cap=tile_cap, chunk=rcfg.composite_chunk,
         want_used=False, use_pallas=use_pallas)
 
     # training_stage 1/2: optimize at half/quarter resolution — render
@@ -452,17 +464,24 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
             do_insert = tracking_kf | mapping_kf
 
             # overlap dedup restricts the trackable mask on tracking KFs
-            # (mp_Tracker.py:266-275); all valid points still insert
-            new_trackable = jnp.where(tracking_kf,
-                                      trackable & (sqd > cfg.kf.overlapped_th2),
-                                      trackable)
-            gmap = add_gaussians(state.gmap, pts_w, colors, rots_w,
-                                 source.scales, z, new_trackable,
-                                 valid & do_insert,
-                                 init_opacity=cfg.map.init_opacity)
-            state = state._replace(gmap=gmap, last_ratio=ratio)
-            state = store_keyframe(state, invert_se3(T), rgb_u8, depth_raw,
-                                   do_insert)
+            # (mp_Tracker.py:266-275); all valid points still insert.
+            # Keyframes are ~1 in keyframe_freq frames: cond skips the
+            # full-capacity insert scatters and keyframe-store writes on
+            # the common non-keyframe path
+            def do_kf(state):
+                new_trackable = jnp.where(
+                    tracking_kf,
+                    trackable & (sqd > cfg.kf.overlapped_th2), trackable)
+                gmap = add_gaussians(state.gmap, pts_w, colors, rots_w,
+                                     source.scales, z, new_trackable,
+                                     valid & do_insert,
+                                     init_opacity=cfg.map.init_opacity)
+                state = state._replace(gmap=gmap)
+                return store_keyframe(state, invert_se3(T), rgb_u8,
+                                      depth_raw, do_insert)
+
+            state = jax.lax.cond(do_insert, do_kf, lambda s: s, state)
+            state = state._replace(last_ratio=ratio)
 
             # covariance sharing, map -> tracker, on tracking keyframes
             # (mp_Tracker.py:286-288); heavy, so guarded by cond
@@ -482,7 +501,17 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
                               n_bucket)
         return state
 
+    def step_chunk(state, depth_c, rgb_c, is_last_c, n_bucket=None,
+                   t_bucket=None):
+        def body(s, inp):
+            d, r, il = inp
+            return step(s, d, r, il, n_bucket, t_bucket), None
+        state, _ = jax.lax.scan(body, state, (depth_c, rgb_c, is_last_c))
+        return state
+
     if mesh is None:
+        step_chunk = jax.jit(step_chunk, donate_argnums=(0,),
+                             static_argnums=(4, 5))
         step = jax.jit(step, donate_argnums=(0,), static_argnums=(4, 5))
         refine = jax.jit(
             lambda state, n_bucket=None: mapping_iters(
@@ -493,6 +522,10 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
         from ..parallel.sharded import state_shardings
         st_sh = state_shardings(mesh)
         repl = _NS(mesh, _PS())
+        step_chunk = jax.jit(step_chunk, donate_argnums=(0,),
+                             static_argnums=(4, 5),
+                             in_shardings=(st_sh, repl, repl, repl),
+                             out_shardings=st_sh)
         step = jax.jit(step, donate_argnums=(0,), static_argnums=(4, 5),
                        in_shardings=(st_sh, repl, repl, repl),
                        out_shardings=st_sh)
@@ -533,7 +566,8 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
 
     render_eval = jax.jit(render_eval)
 
-    return FusedStep(step=step, render_eval=render_eval, refine=refine)
+    return FusedStep(step=step, step_chunk=step_chunk,
+                     render_eval=render_eval, refine=refine)
 
 
 class FusedEngine:
@@ -589,8 +623,11 @@ class FusedEngine:
         cap = self.cfg.map.capacity
         nb = max(self._pow2(n_now + margin), self.MIN_BUCKET)
         n_bucket = None if nb >= cap else nb
+        # the target only holds TRACKABLE gaussians (a subset of n) and
+        # refreshes in full on every tracking keyframe — one keyframe of
+        # margin suffices and halves the 1-NN cost more often
         tc = self.cfg.engine.target_capacity
-        tb = max(self._pow2(n_now + margin), 4096)
+        tb = max(self._pow2(n_now + self.filt.num_points), 4096)
         t_bucket = None if tb >= tc else tb
         return n_bucket, t_bucket
 
@@ -619,13 +656,28 @@ class FusedEngine:
 
         fps_cap = cfg.engine.fps_cap
         n_bucket, t_bucket = self._pick_buckets(0)
+        chunk = cfg.engine.frames_per_dispatch
+        if viewer is not None or fps_cap:
+            chunk = 1  # live modes need per-frame results
         t0 = time.time()
-        for i in range(n):
-            if i % self.BUCKET_SYNC == 0 and i > 0:
+        i = 0
+        while i < n:
+            if i % self.BUCKET_SYNC < chunk and i > 0:
                 # one host sync per BUCKET_SYNC frames keeps the capacity
                 # buckets tracking the map's high-water mark
                 n_now = int(jax.device_get(state.gmap.n))
                 n_bucket, t_bucket = self._pick_buckets(n_now)
+            if chunk > 1 and i + chunk <= n:
+                frs = [dataset[j] for j in range(i, i + chunk)]
+                state = self.fused.step_chunk(
+                    state,
+                    jnp.stack([jnp.asarray(f.depth) for f in frs]),
+                    jnp.stack([to_chw(f.rgb) for f in frs]),
+                    jnp.asarray([j == n - 1
+                                 for j in range(i, i + chunk)]),
+                    n_bucket, t_bucket)
+                i += chunk
+                continue
             fr = dataset[i]
             state = self.fused.step(state, jnp.asarray(fr.depth),
                                     to_chw(fr.rgb),
@@ -659,6 +711,7 @@ class FusedEngine:
                     time.sleep(target - now)
             if progress and i % 50 == 0:
                 print(f"frame {i}/{n}")
+            i += 1
         # force a real host sync (block_until_ready alone can return early
         # through the remote-dispatch relay)
         int(jax.device_get(state.frame_idx))

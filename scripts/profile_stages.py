@@ -158,9 +158,10 @@ def main():
             {**params, "xyz": params["xyz"] + s}, grads, adam_st, lrs,
             live, b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2,
             eps=cfg.opt.adam_eps),
+        # return params+loss so the backward can't be dead-code-eliminated
         "full opt_step": lambda s: prim.opt_step(
             {**params, "xyz": params["xyz"] + s}, adam_st, live, w2c,
-            rgb0, dep0)[2],
+            rgb0, dep0)[:3],
     }
     measured = {}
     for name, fn in stages.items():

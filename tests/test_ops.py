@@ -93,6 +93,27 @@ class TestKNN:
         np.testing.assert_allclose(np.asarray(sqd), d2.min(1), rtol=1e-4,
                                    atol=1e-5)
 
+    def test_knn_search_pallas_matches_numpy(self):
+        """Pallas k-NN kernel (interpret on CPU) vs numpy partial sort."""
+        from gs_icp_slam_tpu.ops.nn_pallas import knn_search_pallas
+
+        rng = np.random.default_rng(9)
+        q = rng.normal(size=(130, 3)).astype(np.float32)
+        r = rng.normal(size=(700, 3)).astype(np.float32)
+        valid = np.ones(700, bool)
+        valid[::7] = False
+        idx, sqd = knn_search_pallas(jnp.asarray(q), jnp.asarray(r),
+                                     jnp.asarray(valid), k=8)
+        d2 = ((q[:, None] - r[None]) ** 2).sum(-1)
+        d2[:, ~valid] = np.inf
+        ref_sqd = np.sort(d2, axis=1)[:, :8]
+        np.testing.assert_allclose(np.asarray(sqd), ref_sqd, rtol=1e-4,
+                                   atol=1e-5)
+        # gathered neighbor distances must equal the reported ones
+        got = np.take_along_axis(d2, np.asarray(idx), axis=1)
+        np.testing.assert_allclose(got, np.asarray(sqd), rtol=1e-4,
+                                   atol=1e-5)
+
     def test_nn_search_pallas_all_invalid(self):
         rng = np.random.default_rng(4)
         q = rng.normal(size=(8, 3)).astype(np.float32)
