@@ -26,6 +26,13 @@ class GICPConfig:
     rotation_epsilon: float = 2e-3
     plane_eps: float = 1e-3  # plane-regularized smallest eigenvalue
     lm_init_lambda: float = 1e-9  # tiny damping for the 6x6 solve
+    # source-covariance neighbour search: "grid" exploits that the source
+    # cloud is a regular pixel-grid subsample and searches a
+    # (2*grid_knn_span+1)^2 image-space window (O(S) vs the exact
+    # search's O(S^2); identical neighbours on locally smooth surfaces);
+    # "exact" brute-forces all pairs like fast_gicp's kd-tree
+    source_knn: str = "grid"
+    grid_knn_span: int = 2
     # initial-guess motion model.  The reference seeds align() with the
     # PREVIOUS pose (constant position, mp_Tracker.py:197) — the default.
     # "constant_velocity" extrapolates the last relative motion: it

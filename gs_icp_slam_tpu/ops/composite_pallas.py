@@ -410,7 +410,8 @@ def _win_dma(pay_hbm, starts_ref, buf, sems, slot, t):
 
 
 def _fwd_kernel_win(counts_ref, starts_ref, pay_hbm, out_ref, taccs_ref,
-                    buf, sems, *, ntx: int, tile_px: int, P: int, K: int):
+                    nact_ref, buf, sems, *, ntx: int, tile_px: int, P: int,
+                    K: int):
     t = pl.program_id(0)
     nT = pl.num_programs(0)
     slot = jax.lax.rem(t, 2)
@@ -433,8 +434,17 @@ def _fwd_kernel_win(counts_ref, starts_ref, pay_hbm, out_ref, taccs_ref,
     px = (tx * tile_px + pid % tile_px).astype(jnp.float32)
     py = (ty * tile_px + pid // tile_px).astype(jnp.float32)
 
-    def body(i, carry):
-        tacc, cr, cg, cb_, cd, tf = carry
+    # EARLY TERMINATION (exact): once every pixel's transmittance fell
+    # below T_EPS, later blocks have inc = 0 -> w = 0 and contribute
+    # exactly nothing (and zero gradient) — stop, and record how many
+    # blocks were processed so the backward starts its reverse walk there
+    # (the CUDA kernel's per-thread early break, done per-tile).
+    def cond(carry):
+        i, tacc, *_ = carry
+        return (i < nb) & (jnp.max(tacc) >= T_EPS)
+
+    def body(carry):
+        i, tacc, cr, cg, cb_, cd, tf = carry
         taccs_ref[0, pl.ds(i, 1), :] = tacc
         blk = buf[slot, pl.ds(i * _BKD, _BKD), :]        # (BKD, 16) window
         (_, _, _, _, _, _, t_next, _, inc, w, tacc_out) = _win_geometry(
@@ -445,27 +455,32 @@ def _fwd_kernel_win(counts_ref, starts_ref, pay_hbm, out_ref, taccs_ref,
         cd = cd + jnp.sum(w * blk[:, 9:10], axis=0, keepdims=True)
         tf = jnp.minimum(tf, jnp.min(jnp.where(inc > 0.0, t_next, 3.4e38),
                                      axis=0, keepdims=True))
-        return tacc_out, cr, cg, cb_, cd, tf
+        return i + 1, tacc_out, cr, cg, cb_, cd, tf
 
     zero = jnp.zeros((1, P), jnp.float32)
     one = jnp.ones((1, P), jnp.float32)
-    _, cr, cg, cb_, cd, tf = jax.lax.fori_loop(
-        0, nb, body, (one, zero, zero, zero, zero, one))
+    n_act, _, cr, cg, cb_, cd, tf = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), one, zero, zero, zero, zero, one))
     pad = jnp.zeros((3, P), jnp.float32)
     out_ref[0] = jnp.concatenate([cr, cg, cb_, cd, tf, pad], axis=0)
+    nact_ref[0, 0] = n_act
 
 
-def _bwd_kernel_win(counts_ref, starts_ref, pay_hbm, taccs_ref, out_ref,
-                    g_ref, dpay_ref, buf, sems, *, ntx: int, tile_px: int,
-                    P: int, K: int):
+def _bwd_kernel_win(counts_ref, starts_ref, nact_ref, pay_hbm, taccs_ref,
+                    out_ref, g_ref, dpay_ref, buf, sems, *, ntx: int,
+                    tile_px: int, P: int, K: int):
     """Reverse walk over the window blocks; gradient written as the DENSE
     (T, K, 16) per-tile block (disjoint across grid steps — the scatter
-    back to splats happens outside with the slot windows)."""
+    back to splats happens outside with the slot windows).
+
+    Only the forward's ACTIVE blocks (nact_ref, its early-termination
+    count) are walked: beyond them w = 0 and every gradient row is
+    exactly zero (dpay is pre-zeroed)."""
     t = pl.program_id(0)
     nT = pl.num_programs(0)
     slot = jax.lax.rem(t, 2)
     count = counts_ref[t]
-    nb = (count + _BKD - 1) // _BKD
+    nb = nact_ref[t]
 
     @pl.when(t == 0)
     def _():
@@ -562,20 +577,22 @@ def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
         out_specs=[pl.BlockSpec((1, 8, P), lambda t, c, s: (t, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, NB, P), lambda t, c, s: (t, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1), lambda t, c, s: (t, 0),
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=list(win_scratch),
     )
     grid_bwd = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(T,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec((1, NB, P), lambda t, c, s: (t, 0, 0),
+                  pl.BlockSpec((1, NB, P), lambda t, c, s, a: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 8, P), lambda t, c, s: (t, 0, 0),
+                  pl.BlockSpec((1, 8, P), lambda t, c, s, a: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 8, P), lambda t, c, s: (t, 0, 0),
+                  pl.BlockSpec((1, 8, P), lambda t, c, s, a: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, K, 16), lambda t, c, s: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, K, 16), lambda t, c, s, a: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=list(win_scratch),
     )
@@ -585,17 +602,18 @@ def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
             partial(_fwd_kernel_win, ntx=ntx, tile_px=tile_px, P=P, K=K),
             grid_spec=grid_fwd,
             out_shape=[jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
-                       jax.ShapeDtypeStruct((T, NB, P), jnp.float32)],
+                       jax.ShapeDtypeStruct((T, NB, P), jnp.float32),
+                       jax.ShapeDtypeStruct((T, 1), jnp.int32)],
             interpret=interpret,
         )(counts, starts, payload)
 
-    def bwd_call(counts, starts, payload, taccs, out, g):
+    def bwd_call(counts, starts, nact, payload, taccs, out, g):
         return pl.pallas_call(
             partial(_bwd_kernel_win, ntx=ntx, tile_px=tile_px, P=P, K=K),
             grid_spec=grid_bwd,
             out_shape=jax.ShapeDtypeStruct((T, K, 16), jnp.float32),
             interpret=interpret,
-        )(counts, starts, payload, taccs, out, g)
+        )(counts, starts, nact, payload, taccs, out, g)
 
     def _payload(pair_slot, attr_v16):
         pay = attr_v16[:, pair_slot].T                   # (Np, 16) rows
@@ -603,18 +621,19 @@ def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
 
     @jax.custom_vjp
     def composite(counts, starts, pair_slot, attr_v16):
-        out, _ = fwd_call(counts, starts, _payload(pair_slot, attr_v16))
+        out, _, _ = fwd_call(counts, starts, _payload(pair_slot, attr_v16))
         return out
 
     def composite_fwd(counts, starts, pair_slot, attr_v16):
         payload = _payload(pair_slot, attr_v16)
-        out, taccs = fwd_call(counts, starts, payload)
-        return out, (counts, starts, pair_slot, attr_v16.shape[1],
-                     payload, taccs, out)
+        out, taccs, nact = fwd_call(counts, starts, payload)
+        return out, (counts, starts, nact[:, 0], pair_slot,
+                     attr_v16.shape[1], payload, taccs, out)
 
     def composite_bwd(res, g):
-        counts, starts, pair_slot, Vp, payload, taccs, out = res
-        dblk = bwd_call(counts, starts, payload, taccs, out, g)  # (T,K,16)
+        counts, starts, nact, pair_slot, Vp, payload, taccs, out = res
+        dblk = bwd_call(counts, starts, nact, payload, taccs, out,
+                        g)  # (T, K, 16)
         # slot of each dense (t, k) cell; k >= counts[t] -> Vp (dropped)
         Np = pair_slot.shape[0]
         gpos = jnp.minimum(starts[:, None]
@@ -626,6 +645,8 @@ def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
             dblk.reshape(T * K, 16).T, mode="drop")[:, :Vp]
         return None, None, None, d_attr
     composite.defvjp(composite_fwd, composite_bwd)
+    # internals exposed for stage-level profiling (scripts/profile_*)
+    composite.parts = (fwd_call, bwd_call, _payload)
     return composite
 
 

@@ -104,7 +104,8 @@ def _build_target(points_nc: jnp.ndarray, cov6: jnp.ndarray,
 
 def make_source(points: jnp.ndarray, valid: jnp.ndarray,
                 cfg: GICPConfig,
-                trackable: jnp.ndarray | None = None) -> GICPSource:
+                trackable: jnp.ndarray | None = None,
+                grid: tuple[int, int] | None = None) -> GICPSource:
     """Estimate source covariances (the fork's set_source_filter +
     calculate covariance path, mp_Tracker.py:191-195).
 
@@ -113,10 +114,20 @@ def make_source(points: jnp.ndarray, valid: jnp.ndarray,
     `trackable` (valid & z <= depth_trunc) gates which points participate
     in registration; the reference's source filter plays both roles at
     once because Replica's depth_trunc leaves the sets nearly identical.
+
+    `grid` = (gh, gw) row-major grid dims of the downsampled frame;
+    with cfg.source_knn == "grid" the neighbour search is the O(S)
+    image-window one (knn_search_grid) instead of the exact O(S^2).
     """
     if trackable is None:
         trackable = valid
-    idx, sqd = knn_search(points, points, valid, k=cfg.k_neighbors)
+    if grid is not None and cfg.source_knn == "grid":
+        from .knn import knn_search_grid
+        idx, sqd = knn_search_grid(points, valid, grid[0], grid[1],
+                                   k=cfg.k_neighbors,
+                                   span=cfg.grid_knn_span)
+    else:
+        idx, sqd = knn_search(points, points, valid, k=cfg.k_neighbors)
     cov_raw = estimate_covariances(points, idx, valid, neighbor_sqd=sqd,
                                    max_dist=cfg.knn_max_distance)
     quat, scales = cov_to_quat_scale(cov_raw)

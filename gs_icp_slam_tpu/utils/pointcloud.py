@@ -22,6 +22,8 @@ class DownsampleFilter:
     flat_idxs: np.ndarray  # (P,) int32 flat pixel indices into H*W
     x_pre: np.ndarray  # (P,) float32, (u-cx)/fx
     y_pre: np.ndarray  # (P,) float32, (v-cy)/fy
+    gh: int = 0  # sample-grid rows (P = gh * gw, row-major)
+    gw: int = 0  # sample-grid cols
 
     @property
     def num_points(self) -> int:
@@ -41,7 +43,8 @@ def make_downsample_filter(width: int, height: int, fx: float, fy: float,
     v = (flat_idxs // width).astype(np.float32)
     x_pre = (u - cx) / fx
     y_pre = (v - cy) / fy
-    return DownsampleFilter(flat_idxs=flat_idxs, x_pre=x_pre, y_pre=y_pre)
+    return DownsampleFilter(flat_idxs=flat_idxs, x_pre=x_pre, y_pre=y_pre,
+                            gh=len(h_val), gw=len(range(0, width, rate)))
 
 
 def downsample_pointcloud(filt: DownsampleFilter, depth: jnp.ndarray, rgb: jnp.ndarray,

@@ -243,3 +243,74 @@ class TestGICP:
         # init with identity (constant-position motion model)
         T_est, _, _, _ = gicp_align(source, target, jnp.eye(4), cfg)
         np.testing.assert_allclose(np.asarray(T_est)[:3, 3], T_true[:3, 3], atol=5e-3)
+
+
+class TestGridKNN:
+    """knn_search_grid vs the exact search on a grid-sampled smooth frame
+    (the production source-covariance path, GICPConfig.source_knn)."""
+
+    def _frame(self, gh=24, gw=32, seed=0):
+        # smooth wavy depth surface sampled on a regular pixel grid,
+        # like the downsample filter's output
+        rng = np.random.default_rng(seed)
+        u = np.linspace(-0.4, 0.4, gw, dtype=np.float32)
+        v = np.linspace(-0.3, 0.3, gh, dtype=np.float32)
+        uu, vv = np.meshgrid(u, v)  # (gh, gw), row-major like the filter
+        z = 2.0 + 0.2 * np.sin(3 * uu) * np.cos(2 * vv)
+        pts = np.stack([uu * z, vv * z, z], axis=-1).reshape(-1, 3)
+        valid = np.ones(gh * gw, bool)
+        # a hole of invalid depth + the borders exercise self-padding
+        valid[rng.choice(gh * gw, 20, replace=False)] = False
+        return (jnp.asarray(pts), jnp.asarray(valid), gh, gw)
+
+    def test_matches_exact_on_smooth_surface(self):
+        from gs_icp_slam_tpu.ops.knn import knn_search_grid
+        pts, valid, gh, gw = self._frame()
+        gi, gd = knn_search_grid(pts, valid, gh, gw, k=20, span=2)
+        ei, ed = knn_search(pts, pts, valid, k=20)
+        # neighbour SETS agree at nearly every INTERIOR point (at the
+        # frame border the exact search reaches outside the window)
+        interior = np.zeros((gh, gw), bool)
+        interior[2:-2, 2:-2] = True
+        agree = []
+        for r in np.flatnonzero(interior.reshape(-1) & np.asarray(valid)):
+            agree.append(len(set(np.asarray(gi[r]))
+                             & set(np.asarray(ei[r]))) / 20.0)
+        assert np.mean(agree) > 0.97, np.mean(agree)
+
+    def test_covariances_match_exact(self):
+        from gs_icp_slam_tpu.ops.knn import knn_search_grid
+        pts, valid, gh, gw = self._frame()
+        gi, gd = knn_search_grid(pts, valid, gh, gw, k=20, span=2)
+        ei, ed = knn_search(pts, pts, valid, k=20)
+        cg = np.asarray(estimate_covariances(pts, gi, valid))
+        ce = np.asarray(estimate_covariances(pts, ei, valid))
+        # interior rows (full window): covariances nearly identical
+        interior = np.zeros((gh, gw), bool)
+        interior[2:-2, 2:-2] = True
+        rows = interior.reshape(-1) & np.asarray(valid)
+        err = np.abs(cg[rows] - ce[rows]).max(axis=(1, 2))
+        scale = np.abs(ce[rows]).max(axis=(1, 2)) + 1e-12
+        assert np.quantile(err / scale, 0.95) < 0.05
+
+    def test_missing_candidates_fall_back_to_self(self):
+        from gs_icp_slam_tpu.ops.knn import knn_search_grid
+        # one lonely valid point: every neighbour slot must be itself
+        pts = jnp.asarray(np.random.default_rng(1).normal(
+            size=(6 * 8, 3)).astype(np.float32))
+        valid = jnp.zeros((48,), bool).at[20].set(True)
+        gi, gd = knn_search_grid(pts, valid, 6, 8, k=9, span=1)
+        assert np.asarray(gi[20][1:] == 20).all()
+        assert np.asarray(gd[20][1:] > 1e37).all()
+
+    def test_make_source_grid_mode(self):
+        pts, valid, gh, gw = self._frame()
+        cfg_g = GICPConfig(source_knn="grid")
+        cfg_e = GICPConfig(source_knn="exact")
+        sg = make_source(pts, valid, cfg_g, grid=(gh, gw))
+        se = make_source(pts, valid, cfg_e, grid=(gh, gw))
+        interior = np.zeros((gh, gw), bool)
+        interior[2:-2, 2:-2] = True
+        rows = interior.reshape(-1) & np.asarray(valid)
+        dc = np.abs(np.asarray(sg.cov6[:, rows] - se.cov6[:, rows]))
+        assert np.quantile(dc, 0.95) < 0.05, np.quantile(dc, 0.95)
