@@ -463,7 +463,10 @@ def _fwd_kernel_win(counts_ref, starts_ref, pay_hbm, out_ref, taccs_ref,
         cond, body, (jnp.int32(0), one, zero, zero, zero, zero, one))
     pad = jnp.zeros((3, P), jnp.float32)
     out_ref[0] = jnp.concatenate([cr, cg, cb_, cd, tf, pad], axis=0)
-    nact_ref[0, 0] = n_act
+    # nact lives in SMEM: a (T,) int32 VMEM output would need an
+    # (8,128)-tilable block, which a per-tile scalar cannot satisfy
+    # (round-2 Mosaic lowering failure); SMEM refs carry no tiling rule
+    nact_ref[t] = n_act
 
 
 def _bwd_kernel_win(counts_ref, starts_ref, nact_ref, pay_hbm, taccs_ref,
@@ -573,19 +576,18 @@ def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
     grid_fwd = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((1, 8, P), lambda t, c, s: (t, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, NB, P), lambda t, c, s: (t, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1), lambda t, c, s: (t, 0),
-                                memory_space=pltpu.VMEM)],
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=list(win_scratch),
     )
     grid_bwd = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((1, NB, P), lambda t, c, s, a: (t, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 8, P), lambda t, c, s, a: (t, 0, 0),
@@ -603,7 +605,7 @@ def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
             grid_spec=grid_fwd,
             out_shape=[jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
                        jax.ShapeDtypeStruct((T, NB, P), jnp.float32),
-                       jax.ShapeDtypeStruct((T, 1), jnp.int32)],
+                       jax.ShapeDtypeStruct((T,), jnp.int32)],
             interpret=interpret,
         )(counts, starts, payload)
 
@@ -627,7 +629,7 @@ def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
     def composite_fwd(counts, starts, pair_slot, attr_v16):
         payload = _payload(pair_slot, attr_v16)
         out, taccs, nact = fwd_call(counts, starts, payload)
-        return out, (counts, starts, nact[:, 0], pair_slot,
+        return out, (counts, starts, nact, pair_slot,
                      attr_v16.shape[1], payload, taccs, out)
 
     def composite_bwd(res, g):

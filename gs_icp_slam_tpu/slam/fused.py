@@ -100,20 +100,23 @@ def make_mapping_primitives(cfg: SLAMConfig, mesh=None,
     # pallas switch off the mesh, not the default backend
     use_pallas = (mesh.devices.flat[0].platform == "tpu") if mesh else None
     v_cap = rcfg.visible_capacity
-    tile_cap = rcfg.max_per_tile
     if n_cap is not None:
         v_cap = min(v_cap, n_cap)
-        # per-tile capacity scales with the map bucket: small maps can't
-        # fill deep tile lists, and K drives both the window size and the
-        # backward's dense-gradient scatter (bench: K 512 -> 256 at the
-        # 64k bucket = +2.7 FPS with zero pairs dropped; 256 -> 128 =
-        # +2.3 FPS more with ~2% of pairs dropped — and because pair
-        # lists are depth-sorted, the dropped ones are the REARMOST
-        # splats of saturated tiles, i.e. the same ones early
-        # termination culls; bench PSNR unchanged, 16.15 vs 16.17 dB.
-        # state.stat_pair_dropped counts every drop for observability.
-        if n_cap <= (1 << 17):
-            tile_cap = min(tile_cap, 128)
+    # Per-tile capacity K sized from EXPECTED PAIRS PER TILE, not map
+    # capacity (round-2 regression: a capacity-keyed K=128 clamp, tuned on
+    # the 836-tile bench, saturated the 12-tile small-scene geometry and
+    # dropped 1313 pairs -> PSNR 16.8).  Each of the <=V visible splats
+    # emits at most tile_span^2 pairs, so mean pairs/tile <= D^2*V/T; a
+    # tile at that mean with K below it is guaranteed lossy, while K well
+    # above it only pads the window DMA (compute already scales with the
+    # true per-tile counts + early termination, not K).  Keep K a multiple
+    # of 128 for the Pallas window path.  Quality tests assert
+    # stats[2] (pair_dropped) stays ~0 so this sizing can't silently rot.
+    ntx_ = -(-intr.width // rcfg.tile_size)
+    nty_ = -(-intr.height // rcfg.tile_size)
+    est = (rcfg.tile_span ** 2) * v_cap / float(ntx_ * nty_)
+    tile_cap = min(rcfg.max_per_tile,
+                   max(128, int(-(-est // 128)) * 128))
     raster = partial(
         rasterize_tiled, sh_degree=cfg.map.sh_degree, width=intr.width,
         height=intr.height, tile=rcfg.tile_size,

@@ -48,7 +48,6 @@ def main():
 
     payload = jax.jit(_payload)(pair_slot_j, attr_j)
     out, taccs, nact = jax.jit(fwd_call)(counts_j, starts_j, payload)
-    nact = nact[:, 0]
 
     def t_payload(s):
         return _payload(pair_slot_j, attr_j + s)

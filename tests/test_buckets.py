@@ -30,6 +30,10 @@ def test_bucketed_run_matches_quality():
     res = eng.run(eval_render=True, eval_stride=4)
     assert res.ate_rmse is not None and res.ate_rmse < 0.005, res.ate_rmse
     assert res.psnr is not None and res.psnr > 25.0, res.psnr
+    # silent pair-dropping must never masquerade as quality/perf again
+    # (round-2 regression: capacity-keyed K clamp dropped 1313 pairs here)
+    assert res.tile_cap_dropped == 0, res.tile_cap_dropped
+    assert res.vis_cap_dropped == 0, res.vis_cap_dropped
 
 
 def test_bucket_slicing_preserves_out_of_bucket_slots():

@@ -34,6 +34,9 @@ def test_fused_mapping_quality(fused_result):
     _, res = fused_result
     assert res.psnr is not None
     assert res.psnr > 25.0, f"PSNR {res.psnr:.2f} dB"
+    # caps must not silently drop quality (VERDICT r2 #2)
+    assert res.tile_cap_dropped == 0, res.tile_cap_dropped
+    assert res.vis_cap_dropped == 0, res.vis_cap_dropped
 
 
 def test_fused_keyframe_sparsity(fused_result):
