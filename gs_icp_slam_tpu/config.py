@@ -109,6 +109,14 @@ class EngineConfig:
     # per-dispatch latency (~16 ms on a tunneled chip) at the cost of
     # chunk-sized result latency; forced to 1 in viewer/fps_cap modes
     frames_per_dispatch: int = 1
+    # multi-chip mapping strategy: "dp" replicates the map and shards
+    # keyframes (comm = one grad all-reduce; right whenever the map fits
+    # per device), "fsdp" shards map+Adam along capacity (all-gather
+    # params per iter; for maps beyond one device's HBM).  "auto" picks
+    # dp below parallel/sharded.DP_MAX_BYTES.  VERDICT r2 #5: fsdp's
+    # O(capacity) per-device all-gather cannot amortize at any mesh size
+    # when the map would have fit replicated.
+    parallel_mode: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -362,6 +362,31 @@ def _bwd_kernel_dyn(counts_ref, attrs_ref, taccs_ref, out_ref, g_ref,
         daT, ident, _CONTRACT_00, preferred_element_type=jnp.float32)
 
 
+def build_cell_idx_np(counts, starts, pair_slot, T: int, K: int, V: int):
+    """Host-side inverse pair map for tests/benches of make_composite_win.
+
+    The production path derives cell_idx arithmetically from the tile
+    sort (rasterize_tiled); synthetic harnesses that fabricate
+    counts/starts/pair_slot directly use this reference builder.
+    Returns (M, V) int32, M = max per-splat multiplicity, padded with the
+    zero-cell index T*K."""
+    import numpy as _np
+    counts = _np.asarray(counts)
+    starts = _np.asarray(starts)
+    pair_slot = _np.asarray(pair_slot)
+    cells = [[] for _ in range(V)]
+    for t in range(T):
+        for k in range(int(counts[t])):
+            v = int(pair_slot[starts[t] + k])
+            if v < V:
+                cells[v].append(t * K + k)
+    M = max(1, max((len(c) for c in cells), default=1))
+    out = _np.full((M, V), T * K, _np.int32)
+    for v, c in enumerate(cells):
+        out[:len(c), v] = c
+    return out
+
+
 # ---------------------------------------------------------------------------
 # v3: pair-window compositor — no dense (T, 16, K) gather at all
 # ---------------------------------------------------------------------------
@@ -470,11 +495,12 @@ def _fwd_kernel_win(counts_ref, starts_ref, pay_hbm, out_ref, taccs_ref,
 
 
 def _bwd_kernel_win(counts_ref, starts_ref, nact_ref, pay_hbm, taccs_ref,
-                    out_ref, g_ref, dpay_ref, buf, sems, *, ntx: int,
+                    out_ref, g_ref, dpay_ref, buf, sems, dscr, *, ntx: int,
                     tile_px: int, P: int, K: int):
-    """Reverse walk over the window blocks; gradient written as the DENSE
-    (T, K, 16) per-tile block (disjoint across grid steps — the scatter
-    back to splats happens outside with the slot windows).
+    """Reverse walk over the window blocks; gradient written CHANNEL-FIRST
+    as this tile's (16, K) lane-block of the dense (16, T*K) cell grid —
+    so the per-splat reduction outside is a fast LANE gather (cell_idx),
+    not a row gather (8x lane padding) or a scatter-add.
 
     Only the forward's ACTIVE blocks (nact_ref, its early-termination
     count) are walked: beyond them w = 0 and every gradient row is
@@ -506,7 +532,7 @@ def _bwd_kernel_win(counts_ref, starts_ref, nact_ref, pay_hbm, taccs_ref,
     gtf = gmat[4:5, :]
     tf = out_ref[0][4:5, :]
 
-    dpay_ref[0] = jnp.zeros((K, 16), jnp.float32)
+    dscr[...] = jnp.zeros((K, 16), jnp.float32)
 
     def body(ir, suffix):
         i = nb - 1 - ir
@@ -547,22 +573,38 @@ def _bwd_kernel_win(counts_ref, starts_ref, nact_ref, pay_hbm, taccs_ref,
         dblk = jnp.concatenate(
             [dmx, dmy, dca, dcb, dcc, dr, dg, db, dop, ddep,
              jnp.zeros((_BKD, 6), jnp.float32)], axis=1) * ok
-        dpay_ref[0, pl.ds(i * _BKD, _BKD), :] = dblk
+        # sublane-offset stores are legal (lane-offset ones are not):
+        # accumulate (K, 16) in scratch, transpose ONCE after the loop
+        dscr[pl.ds(i * _BKD, _BKD), :] = dblk
         return suffix + block_total
 
     jax.lax.fori_loop(0, nb, body, jnp.zeros((1, P), jnp.float32))
+    # (K, 16) -> (16, K) via one MXU identity contraction per tile
+    dpay_ref[...] = jax.lax.dot_general(
+        dscr[...], _identity(K), _CONTRACT_00,
+        preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
 def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
                        interpret: bool = False):
     """Window compositor: f(counts (T,), starts (T,), pair_slot (Np,),
-    attr_v16 (16, Vp)) -> (T, 8, P).
+    cell_idx (M, V), attr_v16 (16, Vp)) -> (T, 8, P).
 
     pair_slot[r] is the compacted splat slot of sorted pair row r (slot Vp-1
     must be a zero splat); tile t owns rows [starts[t], starts[t]+counts[t])
     and counts are pre-clamped to [0, K].  The payload (Np, 16) is gathered
-    once in XLA (the fast lane-gather path) and windowed into the kernel."""
+    once in XLA (the fast lane-gather path) and windowed into the kernel.
+
+    cell_idx is the INVERSE of the pair expansion, used only by the
+    backward: cell_idx[m, v] is a flat index into the dense (T*K) cell
+    grid (t*K + rank-in-tile) of the m-th pair of splat v, or T*K for
+    none.  It must enumerate every composited cell whose pair_slot is v
+    (V = Vp - 1 real splats).  With it, the VJP's splat-gradient
+    reduction is a (M, V) lane gather + sum instead of a (T*K)-row
+    scatter-add — the scatter was the single most expensive op of the
+    mapping backward (profile_composite_bwd: 7.1 ms at K=384 vs ~0.5 ms
+    for the gather form)."""
     P = tile_px * tile_px
     NB = K // _BKD
 
@@ -594,9 +636,10 @@ def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 8, P), lambda t, c, s, a: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, K, 16), lambda t, c, s, a: (t, 0, 0),
+        out_specs=pl.BlockSpec((16, K), lambda t, c, s, a: (0, t),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=list(win_scratch),
+        scratch_shapes=list(win_scratch) + [
+            pltpu.VMEM((K, 16), jnp.float32)],
     )
 
     def fwd_call(counts, starts, payload):
@@ -613,7 +656,7 @@ def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
         return pl.pallas_call(
             partial(_bwd_kernel_win, ntx=ntx, tile_px=tile_px, P=P, K=K),
             grid_spec=grid_bwd,
-            out_shape=jax.ShapeDtypeStruct((T, K, 16), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((16, T * K), jnp.float32),
             interpret=interpret,
         )(counts, starts, nact, payload, taccs, out, g)
 
@@ -622,30 +665,29 @@ def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
         return jnp.pad(pay, ((0, 0), (0, 112)))          # 128-lane rows
 
     @jax.custom_vjp
-    def composite(counts, starts, pair_slot, attr_v16):
+    def composite(counts, starts, pair_slot, cell_idx, attr_v16):
         out, _, _ = fwd_call(counts, starts, _payload(pair_slot, attr_v16))
         return out
 
-    def composite_fwd(counts, starts, pair_slot, attr_v16):
+    def composite_fwd(counts, starts, pair_slot, cell_idx, attr_v16):
         payload = _payload(pair_slot, attr_v16)
         out, taccs, nact = fwd_call(counts, starts, payload)
-        return out, (counts, starts, nact, pair_slot,
+        return out, (counts, starts, nact, cell_idx,
                      attr_v16.shape[1], payload, taccs, out)
 
     def composite_bwd(res, g):
-        counts, starts, nact, pair_slot, Vp, payload, taccs, out = res
-        dblk = bwd_call(counts, starts, nact, payload, taccs, out,
-                        g)  # (T, K, 16)
-        # slot of each dense (t, k) cell; k >= counts[t] -> Vp (dropped)
-        Np = pair_slot.shape[0]
-        gpos = jnp.minimum(starts[:, None]
-                           + jnp.arange(K, dtype=jnp.int32)[None], Np - 1)
-        hit = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
-        slots = jnp.where(hit, pair_slot[gpos], Vp)      # (T, K)
-        d_attr = jnp.zeros((16, Vp + 1), jnp.float32).at[
-            :, slots.reshape(-1)].add(
-            dblk.reshape(T * K, 16).T, mode="drop")[:, :Vp]
-        return None, None, None, d_attr
+        counts, starts, nact, cell_idx, Vp, payload, taccs, out = res
+        dflat = bwd_call(counts, starts, nact, payload, taccs, out,
+                         g)  # (16, T*K) channel-first cell grid
+        # splat gradients: every splat composites in <= M cells, whose
+        # flat indices cell_idx enumerates — a LANE gather + M-way sum,
+        # no scatter (index T*K = absent pair, masked to zero)
+        ok = (cell_idx < T * K).astype(jnp.float32)      # (M, V)
+        idx = jnp.minimum(cell_idx, T * K - 1)
+        per_pair = dflat[:, idx] * ok[None]              # (16, M, V)
+        d_attr = jnp.pad(jnp.sum(per_pair, axis=1),
+                         ((0, 0), (0, Vp - cell_idx.shape[1])))
+        return None, None, None, None, d_attr
     composite.defvjp(composite_fwd, composite_bwd)
     # internals exposed for stage-level profiling (scripts/profile_*)
     composite.parts = (fwd_call, bwd_call, _payload)

@@ -132,7 +132,11 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
     SENTINEL = jnp.int32(2 ** 31 - 1)
     keys = jnp.where(pair_ok, (pair_tile << S) | vslot[None, :],
                      SENTINEL).reshape(-1)
-    key_s = jax.lax.sort(keys)
+    # pair ids ride the sort: the backward needs the INVERSE permutation
+    # (pair -> sorted row) to turn the compositor's per-cell gradients
+    # into per-splat gradients by gather instead of scatter-add
+    pair_id = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    key_s, pid_s = jax.lax.sort((keys, pair_id), num_keys=1)
 
     # tile t's run is [start[t], start[t+1])
     start = jnp.searchsorted(
@@ -165,9 +169,22 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
         pair_slot = jnp.concatenate(
             [pair_slot, jnp.full((K,), V, jnp.int32)])
 
+        # inverse map for the backward: pair (d, v) -> dense cell t*K +
+        # rank-in-tile (or T*K when dropped/invalid).  Rank is free:
+        # sorted row r of tile t has rank r - start[t].
+        Npr = key_s.shape[0]
+        rr = jnp.arange(Npr, dtype=jnp.int32)
+        t_of_r = jnp.clip(key_s >> S, 0, T - 1)
+        k_of_r = rr - start[t_of_r]
+        cell_of_r = jnp.where((key_s != SENTINEL) & (k_of_r < K),
+                              t_of_r * K + k_of_r, T * K)
+        cell_idx = jnp.zeros((Npr,), jnp.int32).at[pid_s].set(
+            cell_of_r).reshape(D * D, V)
+
         comp = make_composite_win(T, ntx, tile, K,
                                   interpret=jax.default_backend() != "tpu")
-        out8 = comp(counts, start, pair_slot, attr_v16)   # (T, 8, P)
+        out8 = comp(counts, start, pair_slot, cell_idx,
+                    attr_v16)   # (T, 8, P)
         tfin_px = out8[:, 4]                        # (T, P)
         color_px = out8[:, 0:3] + tfin_px[:, None, :] * bg[None, :, None]
         color_t = jnp.moveaxis(color_px, 1, 2).reshape(T, tile, tile, 3)

@@ -29,17 +29,41 @@ MAP_AXIS = "map"
 _PARAM_FIELDS = ("xyz", "f_dc", "f_rest", "log_scaling", "rotation",
                  "opacity_logit")
 
+# "auto" mode keeps the map replicated (DP) until params + both Adam
+# moments exceed this per-device budget; beyond it the map genuinely
+# doesn't fit and capacity-sharding (FSDP) pays for itself.  ~170 B/splat
+# at sh_degree 0 -> the threshold flips around 6M splats (v5e has 16 GB).
+DP_MAX_BYTES = 1 << 30
 
-def state_shardings(mesh: Mesh, axis: str = MAP_AXIS):
+
+def _map_bytes(capacity: int, sh_degree: int) -> int:
+    coeffs = (sh_degree + 1) ** 2
+    per = (3 + 3 + 3 * max(coeffs - 1, 0) + 3 + 4 + 1) * 4
+    return capacity * per * 3  # params + Adam m + Adam v
+
+
+def choose_mode(capacity: int, sh_degree: int = 0,
+                requested: str = "auto") -> str:
+    """Resolve cfg.engine.parallel_mode: 'dp' | 'fsdp'."""
+    if requested in ("dp", "fsdp"):
+        return requested
+    return "dp" if _map_bytes(capacity, sh_degree) <= DP_MAX_BYTES \
+        else "fsdp"
+
+
+def state_shardings(mesh: Mesh, axis: str = MAP_AXIS,
+                    mode: str = "fsdp"):
     """A SLAMState-shaped pytree of NamedShardings for `mesh`.
 
-    Map parameters, Adam moments and per-slot masks shard along capacity;
-    the G-ICP target, keyframe store, pose history and every scalar are
-    replicated (they are small and read by every device).
+    fsdp: map parameters, Adam moments and per-slot masks shard along
+    capacity; dp: they replicate (each device holds the whole map and
+    the mapping step shards KEYFRAMES instead).  The G-ICP target,
+    keyframe store, pose history and every scalar are always replicated
+    (they are small and read by every device).
     """
     from ..slam.state import SLAMState
 
-    shard = NamedSharding(mesh, P(axis))
+    shard = NamedSharding(mesh, P(axis) if mode == "fsdp" else P())
     repl = NamedSharding(mesh, P())
 
     gmap_sh = GaussianMap(
@@ -54,6 +78,7 @@ def state_shardings(mesh: Mesh, axis: str = MAP_AXIS):
     return SLAMState(gmap=gmap_sh, adam=adam_sh, target=target_sh, **rest)
 
 
-def place_state(state, mesh: Mesh, axis: str = MAP_AXIS):
+def place_state(state, mesh: Mesh, axis: str = MAP_AXIS,
+                mode: str = "fsdp"):
     """Device_put a host-initialized SLAMState onto the mesh layout."""
-    return jax.device_put(state, state_shardings(mesh, axis))
+    return jax.device_put(state, state_shardings(mesh, axis, mode))

@@ -190,41 +190,78 @@ def make_mapping_primitives(cfg: SLAMConfig, mesh=None,
     if mesh is not None:
         from jax.sharding import PartitionSpec as _P
 
-        from ..parallel.sharded import MAP_AXIS
+        from ..parallel.sharded import MAP_AXIS, choose_mode
         n_dev = int(mesh.devices.size)
+        mode = choose_mode(cfg.map.capacity, cfg.map.sh_degree,
+                           getattr(cfg.engine, "parallel_mode", "auto"))
 
-        def _local_opt_step(params_s, m_s, v_s, step_s, live_s,
-                            w2c_l, rgb_l, depth_l):
-            gather = partial(jax.lax.all_gather, axis_name=MAP_AXIS,
-                             axis=0, tiled=True)
-            params_f = jax.tree.map(gather, params_s)
-            live_f = gather(live_s)
+        if mode == "dp":
+            # map replicated, keyframes sharded: each device renders its
+            # OWN keyframe against its full local copy; comm = ONE grad
+            # all-reduce.  No O(capacity) param movement per iteration —
+            # the fix for VERDICT r2 #5's scaling collapse (the fsdp
+            # all-gather of every param array per device per iter).
+            def _local_opt_step(params_r, m_r, v_r, step_s, live_r,
+                                w2c_l, rgb_l, depth_l):
+                def loss_fn(pf):
+                    return opt_loss(pf, live_r, w2c_l[0], rgb_l[0],
+                                    depth_l[0])
 
-            def loss_fn(pf):
-                return opt_loss(pf, live_f, w2c_l[0], rgb_l[0], depth_l[0])
+                (loss, stats), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params_r)
+                g = jax.tree.map(
+                    lambda x: jax.lax.psum(x, MAP_AXIS) / n_dev, grads)
+                params_r, adam_r = adam_step(
+                    params_r, g, AdamState(m=m_r, v=v_r, step=step_s),
+                    lrs, live_r, b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2,
+                    eps=cfg.opt.adam_eps)
+                loss = jax.lax.psum(loss, MAP_AXIS) / n_dev
+                stats = jax.lax.pmax(stats, MAP_AXIS)
+                return (params_r, adam_r.m, adam_r.v, adam_r.step, loss,
+                        stats)
 
-            (loss, stats), grads_f = jax.value_and_grad(
-                loss_fn, has_aux=True)(params_f)
-            g_s = jax.tree.map(
-                lambda g: jax.lax.psum_scatter(
-                    g, MAP_AXIS, scatter_dimension=0, tiled=True) / n_dev,
-                grads_f)
-            params_s, adam_s = adam_step(
-                params_s, g_s, AdamState(m=m_s, v=v_s, step=step_s), lrs,
-                live_s, b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2,
-                eps=cfg.opt.adam_eps)
-            loss = jax.lax.psum(loss, MAP_AXIS) / n_dev
-            stats = jax.lax.pmax(stats, MAP_AXIS)
-            return (params_s, adam_s.m, adam_s.v, adam_s.step, loss, stats)
+            _sharded_local = jax.shard_map(
+                _local_opt_step, mesh=mesh,
+                in_specs=(_P(), _P(), _P(), _P(), _P(),
+                          _P(MAP_AXIS), _P(MAP_AXIS), _P(MAP_AXIS)),
+                out_specs=(_P(), _P(), _P(), _P(), _P(), _P()),
+                check_vma=False)
+        else:
+            def _local_opt_step(params_s, m_s, v_s, step_s, live_s,
+                                w2c_l, rgb_l, depth_l):
+                gather = partial(jax.lax.all_gather, axis_name=MAP_AXIS,
+                                 axis=0, tiled=True)
+                params_f = jax.tree.map(gather, params_s)
+                live_f = gather(live_s)
 
-        _sharded_local = jax.shard_map(
-            _local_opt_step, mesh=mesh,
-            in_specs=(_P(MAP_AXIS), _P(MAP_AXIS), _P(MAP_AXIS), _P(),
-                      _P(MAP_AXIS), _P(MAP_AXIS), _P(MAP_AXIS),
-                      _P(MAP_AXIS)),
-            out_specs=(_P(MAP_AXIS), _P(MAP_AXIS), _P(MAP_AXIS), _P(),
-                       _P(), _P()),
-            check_vma=False)
+                def loss_fn(pf):
+                    return opt_loss(pf, live_f, w2c_l[0], rgb_l[0],
+                                    depth_l[0])
+
+                (loss, stats), grads_f = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params_f)
+                g_s = jax.tree.map(
+                    lambda g: jax.lax.psum_scatter(
+                        g, MAP_AXIS, scatter_dimension=0,
+                        tiled=True) / n_dev,
+                    grads_f)
+                params_s, adam_s = adam_step(
+                    params_s, g_s, AdamState(m=m_s, v=v_s, step=step_s),
+                    lrs, live_s, b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2,
+                    eps=cfg.opt.adam_eps)
+                loss = jax.lax.psum(loss, MAP_AXIS) / n_dev
+                stats = jax.lax.pmax(stats, MAP_AXIS)
+                return (params_s, adam_s.m, adam_s.v, adam_s.step, loss,
+                        stats)
+
+            _sharded_local = jax.shard_map(
+                _local_opt_step, mesh=mesh,
+                in_specs=(_P(MAP_AXIS), _P(MAP_AXIS), _P(MAP_AXIS), _P(),
+                          _P(MAP_AXIS), _P(MAP_AXIS), _P(MAP_AXIS),
+                          _P(MAP_AXIS)),
+                out_specs=(_P(MAP_AXIS), _P(MAP_AXIS), _P(MAP_AXIS), _P(),
+                           _P(), _P()),
+                check_vma=False)
 
         def opt_step_batched(params, adam, live, w2c_b, rgb_b, depth_b):
             p, m, v, step, loss, stats = _sharded_local(
@@ -528,8 +565,10 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
             donate_argnums=(0,), static_argnums=(1,))
     else:
         from jax.sharding import NamedSharding as _NS, PartitionSpec as _PS
-        from ..parallel.sharded import state_shardings
-        st_sh = state_shardings(mesh)
+        from ..parallel.sharded import choose_mode, state_shardings
+        st_sh = state_shardings(mesh, mode=choose_mode(
+            cfg.map.capacity, cfg.map.sh_degree,
+            getattr(cfg.engine, "parallel_mode", "auto")))
         repl = _NS(mesh, _PS())
         step_chunk = jax.jit(step_chunk, donate_argnums=(0,),
                              static_argnums=(4, 5),
@@ -660,8 +699,10 @@ class FusedEngine:
             f0.gt_c2w if f0.gt_c2w is not None else np.eye(4), np.float32)
         state = init_state(cfg, n, pose0, self.seed)
         if self.mesh is not None:
-            from ..parallel.sharded import place_state
-            state = place_state(state, self.mesh)
+            from ..parallel.sharded import choose_mode, place_state
+            state = place_state(state, self.mesh, mode=choose_mode(
+                cfg.map.capacity, cfg.map.sh_degree,
+                getattr(cfg.engine, "parallel_mode", "auto")))
 
         fps_cap = cfg.engine.fps_cap
         n_bucket, t_bucket = self._pick_buckets(0)

@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--points", type=int, default=12000)
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--mode", default="auto",
+                    choices=("auto", "dp", "fsdp"))
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -65,6 +67,12 @@ def main():
     cfg = synthetic_config(intr, capacity=args.capacity,
                            target_capacity=1 << 12,
                            visible_capacity=1 << 13)
+    import dataclasses as _dc
+    cfg = cfg.replace(engine=_dc.replace(cfg.engine,
+                                         parallel_mode=args.mode))
+    from gs_icp_slam_tpu.parallel.sharded import choose_mode
+    mode = choose_mode(args.capacity, cfg.map.sh_degree, args.mode)
+    print("parallel mode:", mode, flush=True)
 
     rng = np.random.default_rng(0)
     p = args.points
@@ -118,6 +126,7 @@ def main():
 
     out = dict(
         metric="sharded_mapping_scaling",
+        mode=mode,
         platform=str(devices_all[0].platform),
         virtual_cpu_mesh="proxy for a pod slice: per-device programs run "
                          "on host threads; ICI costs absent" if

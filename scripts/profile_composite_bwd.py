@@ -20,7 +20,8 @@ from gs_icp_slam_tpu.utils.profiling import slope_time  # noqa: E402
 
 
 def main():
-    from gs_icp_slam_tpu.ops.composite_pallas import make_composite_win
+    from gs_icp_slam_tpu.ops.composite_pallas import (build_cell_idx_np,
+                                                      make_composite_win)
 
     width, height = 1200, 680
     tile = 32
@@ -43,6 +44,8 @@ def main():
     counts_j = jnp.asarray(counts)
     starts_j = jnp.asarray(starts)
     pair_slot_j = jnp.asarray(pair_slot)
+    cell_idx_j = jnp.asarray(
+        build_cell_idx_np(counts, starts, pair_slot, T, K, V))
     attr_j = jnp.asarray(attr_v16)
     g = jnp.asarray(rng.normal(size=(T, 8, tile * tile)).astype(np.float32))
 
@@ -61,22 +64,19 @@ def main():
     dblk = jax.jit(lambda s: bwd_call(counts_j, starts_j, nact,
                                       payload + s, taccs, out, g))(0.0)
 
-    def t_scatter(s):
-        gpos = jnp.minimum(starts_j[:, None]
-                           + jnp.arange(K, dtype=jnp.int32)[None], NP - 1)
-        hit = jnp.arange(K, dtype=jnp.int32)[None, :] < counts_j[:, None]
-        slots = jnp.where(hit, pair_slot_j[gpos], V)
-        return jnp.zeros((16, V + 1), jnp.float32).at[
-            :, slots.reshape(-1)].add(
-            (dblk + s).reshape(T * K, 16).T, mode="drop")[:, :V]
+    def t_gather(s):
+        ok = (cell_idx_j < T * K).astype(jnp.float32)
+        idx = jnp.minimum(cell_idx_j, T * K - 1)
+        return jnp.sum((dblk + s)[:, idx] * ok[None], axis=1)
 
     def t_full_vjp(s):
         def f(a):
-            return jnp.sum(comp(counts_j, starts_j, pair_slot_j, a) * g)
+            return jnp.sum(comp(counts_j, starts_j, pair_slot_j,
+                                cell_idx_j, a) * g)
         return jax.grad(f)(attr_j + s)
 
     for name, fn in [("payload gather", t_payload), ("fwd kernel", t_fwd),
-                     ("bwd kernel", t_bwdk), ("cell scatter", t_scatter),
+                     ("bwd kernel", t_bwdk), ("cell gather", t_gather),
                      ("full vjp", t_full_vjp)]:
         print(f"{name:16s} {slope_time(fn, R=8):8.3f} ms", flush=True)
 

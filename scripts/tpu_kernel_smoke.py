@@ -31,7 +31,8 @@ def _check(name, *arrays):
 
 
 def smoke_composite_win(T, ntx, tile_px, K, V):
-    from gs_icp_slam_tpu.ops.composite_pallas import make_composite_win
+    from gs_icp_slam_tpu.ops.composite_pallas import (build_cell_idx_np,
+                                                      make_composite_win)
     name = f"composite_win T={T} tile={tile_px} K={K}"
     P = tile_px * tile_px
     rng = np.random.default_rng(0)
@@ -54,10 +55,12 @@ def smoke_composite_win(T, ntx, tile_px, K, V):
     attr[:, V] = 0.0
     attr_v16 = jnp.asarray(attr)
 
+    cell_idx = jnp.asarray(build_cell_idx_np(counts, starts, pair_slot,
+                                             T, K, V))
     comp = make_composite_win(T, ntx, tile_px, K, interpret=False)
 
     def loss(a):
-        out = comp(counts, starts, pair_slot, a)
+        out = comp(counts, starts, pair_slot, cell_idx, a)
         return jnp.sum(out[:, 0:5]), out
 
     (l, out), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(attr_v16)

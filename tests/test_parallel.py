@@ -59,13 +59,17 @@ def _keyframe_batch(cfg, b, seed=1):
     return w2c_b, rgb_b, depth_b
 
 
-def test_sharded_step_matches_single_device():
-    """The shard_map FSDP+DP step must produce the SAME update as the
-    equivalent batched mean-loss step on one device."""
+@pytest.mark.parametrize("mode", ["dp", "fsdp"])
+def test_sharded_step_matches_single_device(mode):
+    """Both multi-chip modes (replicated-map DP and capacity-sharded
+    FSDP) must produce the SAME update as the equivalent batched
+    mean-loss step on one device."""
     devices = jax.devices("cpu")
     mesh = make_mesh(devices)
     n_dev = len(devices)
     cfg = _tiny_cfg(n_dev)
+    cfg = cfg.replace(engine=dataclasses.replace(cfg.engine,
+                                                 parallel_mode=mode))
     gmap = _populated_map(cfg)
     params = map_params(gmap)
     adam = adam_init(params)

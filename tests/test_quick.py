@@ -77,7 +77,8 @@ def test_sharded_step_mesh2():
     """One fused step under a 2-device mesh (FSDP map + keyframe DP)."""
     from jax.sharding import Mesh
 
-    from gs_icp_slam_tpu.parallel.sharded import MAP_AXIS, place_state
+    from gs_icp_slam_tpu.parallel.sharded import (MAP_AXIS, choose_mode,
+                                                  place_state)
 
     devs = jax.devices("cpu")[:2]
     mesh = Mesh(np.asarray(devs).reshape(2), (MAP_AXIS,))
@@ -87,7 +88,8 @@ def test_sharded_step_mesh2():
                            visible_capacity=1 << 11)
     eng = FusedEngine(seq, cfg, mesh=mesh)
     state = place_state(
-        init_state(cfg, 2, np.asarray(seq[0].gt_c2w, np.float32)), mesh)
+        init_state(cfg, 2, np.asarray(seq[0].gt_c2w, np.float32)), mesh,
+        mode=choose_mode(cfg.map.capacity))
     for i in range(2):
         fr = seq[i]
         state = eng.fused.step(state, jnp.asarray(fr.depth), to_chw(fr.rgb),
@@ -99,7 +101,8 @@ def test_sharded_step_mesh2():
 def test_composite_win_matches_oracle_production_tiles():
     """Pair-window compositor vs the dense per-tile oracle at the
     production tile config (tile 32): fwd + a gradient probe."""
-    from gs_icp_slam_tpu.ops.composite_pallas import make_composite_win
+    from gs_icp_slam_tpu.ops.composite_pallas import (build_cell_idx_np,
+                                                      make_composite_win)
 
     tile, ntx, nty, K, V = 32, 3, 2, 128, 256
     T = ntx * nty
@@ -125,9 +128,11 @@ def test_composite_win_matches_oracle_production_tiles():
     counts = jnp.asarray(counts_np)
     starts = jnp.asarray(starts_np)
     pair_slot = jnp.asarray(pair_slot_np)
+    cell_idx = jnp.asarray(build_cell_idx_np(counts_np, starts_np,
+                                             pair_slot_np, T, K, V))
     attr_j = jnp.asarray(attr)
 
-    out = comp(counts, starts, pair_slot, attr_j)  # (T, 8, P)
+    out = comp(counts, starts, pair_slot, cell_idx, attr_j)  # (T, 8, P)
 
     # dense oracle: straight numpy front-to-back over each tile's run
     from gs_icp_slam_tpu.ops.projection import ALPHA_MAX, ALPHA_MIN, T_EPS
@@ -161,8 +166,8 @@ def test_composite_win_matches_oracle_production_tiles():
         np.testing.assert_allclose(got[4], tr, atol=2e-4)
 
     # gradient probe: d(sum color)/d attr is finite and nonzero
-    g = jax.grad(lambda a: jnp.sum(comp(counts, starts, pair_slot, a)
-                                   [:, 0:3]))(attr_j)
+    g = jax.grad(lambda a: jnp.sum(comp(counts, starts, pair_slot,
+                                        cell_idx, a)[:, 0:3]))(attr_j)
     g = np.asarray(jax.device_get(g))
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0
