@@ -164,6 +164,10 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
         vis_order_p = jnp.concatenate(
             [vis_order, jnp.full((1,), N, jnp.int32)])
         attr_p = jnp.pad(attr, ((0, 0), (0, 1)))
+        # NOTE: a custom-VJP inverse-permutation gather was tried here to
+        # avoid the backward's scatter-add; it measured 3 ms SLOWER end to
+        # end (E 13.0 -> 16.0 ms, profile_raster_stages) — XLA's unique-
+        # index scatter-add path beats the scatter-set + gather pair.
         attr_v16 = jnp.pad(attr_p[:, vis_order_p], ((0, 6), (0, 0)))
         # pad pair rows so the last tiles' windows stay in bounds
         pair_slot = jnp.concatenate(

@@ -172,47 +172,21 @@ class SLAMEngine:
 
         self._export_target = export_target
 
-        rcfg = cfg.render
-        bg = jnp.asarray(rcfg.bg_color, jnp.float32)
-        raster = partial(
-            rasterize_tiled,
-            sh_degree=cfg.map.sh_degree, width=intr.width,
-            height=intr.height, tile=rcfg.tile_size,
-            visible_cap=rcfg.visible_capacity, tile_span=rcfg.tile_span,
-            tile_cap=rcfg.max_per_tile, chunk=rcfg.composite_chunk, want_used=False)
+        # mapping primitives are SHARED with the fused engine (VERDICT r2
+        # #9: this file used to re-implement opt_step/raster and drifted —
+        # it missed the r2 bucketing and tile-cap work entirely).  One
+        # code path: fused.make_mapping_primitives.
+        from .fused import make_mapping_primitives
+        prim = make_mapping_primitives(cfg, None)
+        bg = jnp.asarray(cfg.render.bg_color, jnp.float32)
+        raster = prim.raster
         fx, fy = intr.fx, intr.fy
         # rendering uses GL-convention principal point for reference parity
         # (SURVEY §2.15: the GL projection has no cx/cy offset)
         rcx, rcy = (intr.width - 1) / 2.0, (intr.height - 1) / 2.0
+        _params_sh = prim.sh_concat
 
-        def _params_sh(params):
-            return jnp.concatenate(
-                [params["f_dc"][:, None, :], params["f_rest"]], axis=1)
-
-        @jax.jit
-        def opt_step(params, adam, live, w2c, rgb_u8, depth_raw):
-            gt_img = rgb_u8.astype(jnp.float32) / 255.0  # (3, H, W) input
-            gt_depth = depth_raw / intr.depth_scale
-
-            def loss_fn(p):
-                out = raster(p["xyz"], p["rotation"],
-                             jnp.exp(p["log_scaling"]),
-                             jax.nn.sigmoid(p["opacity_logit"][:, 0]),
-                             _params_sh(p), w2c, live, bg, fx, fy, rcx, rcy)
-                loss, aux = mapping_loss(
-                    out.color, out.depth, gt_img, gt_depth,
-                    lambda_dssim=cfg.opt.lambda_dssim,
-                    depth_weight=cfg.opt.depth_loss_weight,
-                    d_max=cfg.opt.depth_d_max)
-                return loss, out.stats
-
-            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            params, adam = adam_step(params, grads, adam, self.lrs, live,
-                                     b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2,
-                                     eps=cfg.opt.adam_eps)
-            return params, adam, loss, stats
-
-        self._opt_step = opt_step
+        self._opt_step = jax.jit(prim.opt_step)
 
         @jax.jit
         def prune(gmap):

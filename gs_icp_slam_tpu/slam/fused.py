@@ -47,7 +47,8 @@ class FusedStep(NamedTuple):
     refine: Callable      # (state,) -> state: REFINE_CHUNK mapping iters
 
 
-REFINE_CHUNK = 16  # post-run refinement iterations per jit call
+REFINE_CHUNK = 64  # post-run refinement iterations per jit call (a
+                   # lax.scan: chunk size costs dispatches, not compiles)
 
 
 def to_chw(rgb_hwc) -> "jnp.ndarray":
@@ -344,19 +345,23 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
                           valid=t.valid[:tb], nn_bias=t.nn_bias[:, :tb])
 
     def mapping_iters(state, n_iters: int, n_bucket=None):
-        gmap_full, adam = state.gmap, state.adam
-        gmap = slice_map(gmap_full, n_bucket)
-        adam = slice_adam(adam, n_bucket)
-        params = map_params(gmap)
-        rng = state.rng
-        new_kf = state.new_kf
-        train_iter = state.train_iter
-        vis_drop, pair_drop = state.stat_vis_dropped, state.stat_pair_dropped
-        for it in range(n_iters):
+        # lax.scan over ONE iteration body, not a python unroll: the
+        # compile cost of the refine program (16+ iters) was ~34 s per
+        # process on the remote-compile backend; the scanned body
+        # compiles once at 1-iteration size for any n_iters
+        gmap_full = state.gmap
+        gmap0 = slice_map(gmap_full, n_bucket)
+        adam0 = slice_adam(state.adam, n_bucket)
+        opt_step_local = get_prim(n_bucket).opt_step if mesh is None \
+            else None
+
+        def body(carry, it):
+            gmap, adam, rng, train_iter, vis_drop, pair_drop = carry
             rng, sub = jax.random.split(rng)
             rand_idx = jax.random.randint(sub, (), 0,
                                           jnp.maximum(state.kf_count, 1))
-            idx = jnp.where((it == 0) & (new_kf >= 0), new_kf, rand_idx)
+            idx = jnp.where((it == 0) & (state.new_kf >= 0), state.new_kf,
+                            rand_idx)
             train_iter = train_iter + 1
 
             def do_prune(m):
@@ -365,11 +370,10 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
 
             gmap = jax.lax.cond(
                 train_iter % cfg.map.prune_interval == 0, do_prune,
-                lambda m: m, with_params(gmap, params))
+                lambda m: m, gmap)
             params = map_params(gmap)
 
             if mesh is None:
-                opt_step = get_prim(n_bucket).opt_step
                 w2c = state.kf_w2c[idx]
                 rgb = state.kf_rgb[idx]
                 depth = state.kf_depth[idx]
@@ -377,7 +381,8 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
                 # render + backward instead of computing and discarding it
                 params, adam, _, stats = jax.lax.cond(
                     state.kf_count > 0,
-                    lambda p, a: opt_step(p, a, gmap.live, w2c, rgb, depth),
+                    lambda p, a: opt_step_local(p, a, gmap.live, w2c, rgb,
+                                                depth),
                     lambda p, a: (p, a, jnp.float32(0),
                                   jnp.zeros((3,), jnp.int32)),
                     params, adam)
@@ -398,9 +403,24 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
                     lambda p, a: (p, a, jnp.float32(0),
                                   jnp.zeros((3,), jnp.int32)),
                     params, adam)
+            gmap = with_params(gmap, params)
             vis_drop = jnp.maximum(vis_drop, stats[1])
             pair_drop = jnp.maximum(pair_drop, stats[2])
-        gmap = with_params(gmap, params)
+            return (gmap, adam, rng, train_iter, vis_drop, pair_drop), None
+
+        init = (gmap0, adam0, state.rng, state.train_iter,
+                state.stat_vis_dropped, state.stat_pair_dropped)
+        if n_iters <= 4:
+            # unrolled: ~2 FPS faster in the per-frame step (the scan
+            # carry forces copies of the bucket-sized map pytree)
+            carry = init
+            for it in range(n_iters):
+                carry, _ = body(carry, jnp.int32(it))
+            gmap, adam, rng, train_iter, vis_drop, pair_drop = carry
+        else:
+            (gmap, adam, rng, train_iter, vis_drop, pair_drop), _ = \
+                jax.lax.scan(body, init,
+                             jnp.arange(n_iters, dtype=jnp.int32))
         gmap = unslice_map(gmap_full, gmap, n_bucket)
         adam = unslice_adam(state.adam, adam, n_bucket)
         return state._replace(gmap=gmap, adam=adam, rng=rng,
