@@ -50,7 +50,12 @@ def main():
                            capacity=1 << 18, target_capacity=1 << 16,
                            visible_capacity=1 << 16)
     cfg = cfg.replace(engine=dataclasses.replace(
-        cfg.engine, mapping_iters_per_frame=2))
+        cfg.engine, mapping_iters_per_frame=int(
+            os.environ.get("GS_BENCH_ITERS", "2"))))
+    stage = int(os.environ.get("GS_BENCH_STAGE", "0"))
+    if stage:
+        cfg = cfg.replace(opt=dataclasses.replace(
+            cfg.opt, training_stage=stage))
     # experiment knobs (default = production config)
     tile = int(os.environ.get("GS_BENCH_TILE", "0"))
     if tile:

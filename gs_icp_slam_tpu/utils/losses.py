@@ -62,7 +62,8 @@ def _blur_mats(h: int, w: int, window_size: int, sigma: float):
     return banded(h), banded(w)
 
 
-def _blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+def _blur_matmul(img: jnp.ndarray, window_size: int,
+                 sigma: float) -> jnp.ndarray:
     """Separable Gaussian blur of (C, H, W) via banded matmuls (MXU)."""
     _, h, w = img.shape
     rm, cm = _blur_mats(h, w, window_size, sigma)
@@ -72,6 +73,25 @@ def _blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
                    preferred_element_type=jnp.float32)
     return jnp.einsum("ckw,vw->ckv", x, cm,
                       preferred_element_type=jnp.float32)
+
+
+def _blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of (C, H, W) as 2*k shift-multiply-adds.
+
+    The banded-matmul form runs dense (H, H)/(W, W) matmuls whose bands
+    are 11 wide — ~109x wasted MXU FLOPs at 1200x680 (SSIM fwd+bwd
+    measured 2.4 ms of the 12.6 ms mapping step).  Static zero-padded
+    slices keep the exact SAME truncated-kernel border semantics, on the
+    VPU.  (A depthwise conv lowers worse than both: ~42 ms.)"""
+    _, h, w = img.shape
+    g = _gaussian_1d(window_size, sigma)
+    k = window_size // 2
+    xp = jnp.pad(img, ((0, 0), (k, k), (0, 0)))
+    img = sum(g[i] * jax.lax.slice_in_dim(xp, i, i + h, axis=1)
+              for i in range(window_size))
+    xp = jnp.pad(img, ((0, 0), (0, 0), (k, k)))
+    return sum(g[i] * jax.lax.slice_in_dim(xp, i, i + w, axis=2)
+               for i in range(window_size))
 
 
 def ssim(img: jnp.ndarray, gt: jnp.ndarray, window_size: int = 11):

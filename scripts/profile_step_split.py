@@ -36,6 +36,10 @@ def main():
                            visible_capacity=1 << 16)
     cfg = cfg.replace(engine=dataclasses.replace(
         cfg.engine, mapping_iters_per_frame=2))
+    stage = int(os.environ.get("GS_STAGE", "0"))
+    if stage:
+        cfg = cfg.replace(opt=dataclasses.replace(
+            cfg.opt, training_stage=stage))
     eng = FusedEngine(seq, cfg)
     frames = [seq[i] for i in range(NWARM + 2)]
     depths = [jnp.asarray(f.depth) for f in frames]
