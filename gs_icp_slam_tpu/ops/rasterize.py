@@ -46,6 +46,34 @@ from .projection import (ALPHA_MAX, ALPHA_MIN, T_EPS,
                          project_gaussians_packed, tile_rect)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _compact_cols(mat, idx, inv_v):
+    """mat[:, idx] where idx = [order_full[:V], N] (unique) and inv_v is
+    the inverse permutation clipped to V: inv_v[n] = slot of column n, or
+    >= V if not selected.  The custom VJP turns the gather's transpose
+    into ANOTHER gather through inv_v — the autodiff scatter-add at
+    (16, 64k) measured ~2.7 ms on v5e, the inverse gather ~0.2 ms.
+    inv_v itself costs one extra 2-operand sort of order_full (~0.1 ms);
+    a scatter-set inverse was tried and was as slow as the scatter-add."""
+    return mat[:, idx]
+
+
+def _compact_cols_fwd(mat, idx, inv_v):
+    return mat[:, idx], inv_v
+
+
+def _compact_cols_bwd(inv_v, g):
+    # g: (R, V+1); column V is the zero-splat pad and carries zero grad,
+    # so clipping unselected columns to it yields their exact zero
+    V = g.shape[1] - 1
+    idxN = jnp.minimum(inv_v, V)
+    d_mat = jnp.concatenate([g[:, idxN], g[:, V:V + 1]], axis=1)
+    return d_mat, None, None
+
+
+_compact_cols.defvjp(_compact_cols_fwd, _compact_cols_bwd)
+
+
 class RasterOut(NamedTuple):
     color: jnp.ndarray    # (3, H, W)
     depth: jnp.ndarray    # (H, W)
@@ -164,26 +192,31 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
         vis_order_p = jnp.concatenate(
             [vis_order, jnp.full((1,), N, jnp.int32)])
         attr_p = jnp.pad(attr, ((0, 0), (0, 1)))
-        # NOTE: a custom-VJP inverse-permutation gather was tried here to
-        # avoid the backward's scatter-add; it measured 3 ms SLOWER end to
-        # end (E 13.0 -> 16.0 ms, profile_raster_stages) — XLA's unique-
-        # index scatter-add path beats the scatter-set + gather pair.
-        attr_v16 = jnp.pad(attr_p[:, vis_order_p], ((0, 6), (0, 0)))
+        # order_full is a FULL permutation, so its inverse is one more
+        # 2-operand sort; _compact_cols then makes the compaction
+        # backward a gather instead of a (16, V) scatter-add
+        _, inv_full = jax.lax.sort(
+            (order_full, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
+        attr_v16 = jnp.pad(_compact_cols(attr_p, vis_order_p, inv_full),
+                           ((0, 6), (0, 0)))
         # pad pair rows so the last tiles' windows stay in bounds
         pair_slot = jnp.concatenate(
             [pair_slot, jnp.full((K,), V, jnp.int32)])
 
         # inverse map for the backward: pair (d, v) -> dense cell t*K +
         # rank-in-tile (or T*K when dropped/invalid).  Rank is free:
-        # sorted row r of tile t has rank r - start[t].
+        # sorted row r of tile t has rank r - start[t].  The inverse
+        # permutation is applied by SORTING (pid_s, cell_of_r) — a 262k
+        # scatter-set measured 3.0 ms on v5e, the 2-operand sort 0.2 ms
+        # (TPU scatters serialize; sorts don't).
         Npr = key_s.shape[0]
         rr = jnp.arange(Npr, dtype=jnp.int32)
         t_of_r = jnp.clip(key_s >> S, 0, T - 1)
         k_of_r = rr - start[t_of_r]
         cell_of_r = jnp.where((key_s != SENTINEL) & (k_of_r < K),
                               t_of_r * K + k_of_r, T * K)
-        cell_idx = jnp.zeros((Npr,), jnp.int32).at[pid_s].set(
-            cell_of_r).reshape(D * D, V)
+        _, cell_idx = jax.lax.sort((pid_s, cell_of_r), num_keys=1)
+        cell_idx = cell_idx.reshape(D * D, V)
 
         comp = make_composite_win(T, ntx, tile, K,
                                   interpret=jax.default_backend() != "tpu")
