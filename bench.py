@@ -49,9 +49,15 @@ def main():
     cfg = synthetic_config(seq.intr, downsample_rate=10,
                            capacity=1 << 18, target_capacity=1 << 16,
                            visible_capacity=1 << 16)
+    # keyframe_capacity sized to the run: a 36-frame sequence stores ~8
+    # keyframes; at the 256 default the store is 1.4 GB and the per-frame
+    # layout copies XLA inserts around it cost ~10 ms (trace_step.py) —
+    # at 64 the same copies are 2.5 ms.  Real runs (2000-frame Replica)
+    # keep the 256 default via cli/engine.
     cfg = cfg.replace(engine=dataclasses.replace(
         cfg.engine, mapping_iters_per_frame=int(
-            os.environ.get("GS_BENCH_ITERS", "2"))))
+            os.environ.get("GS_BENCH_ITERS", "2")),
+        keyframe_capacity=int(os.environ.get("GS_BENCH_KC", "64"))))
     stage = int(os.environ.get("GS_BENCH_STAGE", "0"))
     if stage:
         cfg = cfg.replace(opt=dataclasses.replace(
