@@ -45,6 +45,10 @@ def _build_run_parser(sub):
     p.add_argument("--save_results", action="store_true")
     p.add_argument("--rerun_viewer", action="store_true",
                    help="stream to a rerun.io viewer if the sdk is present")
+    p.add_argument("--net_gui", action="store_true",
+                   help="serve the SIBR remote viewer protocol on "
+                        "--net_gui_port (reference network_gui, port 6009)")
+    p.add_argument("--net_gui_port", type=int, default=6009)
     # ours
     p.add_argument("--dataset_type", type=str, default=None,
                    choices=["replica", "tum", "synthetic"],
@@ -156,11 +160,18 @@ def cmd_run(args) -> int:
     if args.rerun_viewer:
         from .viz.rerun_logger import RerunLogger
         viewer = RerunLogger(cfg.intr)
+    net_gui = None
+    if args.net_gui:
+        from .viz.network_gui import NetworkGUI
+        net_gui = NetworkGUI(port=args.net_gui_port,
+                             verify=args.dataset_path or "gs_icp_slam_tpu")
 
     eng = FusedEngine(dataset, cfg, seed=args.seed)
     res = eng.run(eval_render=not args.no_eval,
                   eval_stride=args.eval_stride, progress=args.verbose,
-                  viewer=viewer)
+                  viewer=viewer, net_gui=net_gui)
+    if net_gui is not None:
+        net_gui.close()
 
     ate_cm = res.ate_rmse * 100 if res.ate_rmse is not None else None
     print(f"System FPS: {res.fps:.2f}")

@@ -47,3 +47,22 @@ class RGBDSequence:
     def gt_poses(self) -> np.ndarray:
         """(N, 4, 4) ground-truth c2w poses (for ATE eval)."""
         return np.stack([self.frame(i).gt_c2w for i in range(len(self))])
+
+    def slice(self, start: int, stop: int) -> "RGBDSequence":
+        """A view of frames [start, stop) — e.g. the first-200-frames
+        parity run (tests/test_replica_parity.py)."""
+        return _SlicedSequence(self, start, min(stop, len(self)))
+
+
+class _SlicedSequence(RGBDSequence):
+    def __init__(self, parent: RGBDSequence, start: int, stop: int):
+        self._parent = parent
+        self._start = start
+        self._stop = stop
+        self.intr = parent.intr
+
+    def __len__(self) -> int:
+        return self._stop - self._start
+
+    def frame(self, i: int) -> RGBDFrame:
+        return self._parent.frame(self._start + i)

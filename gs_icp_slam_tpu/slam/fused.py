@@ -704,7 +704,7 @@ class FusedEngine:
             self.state = self.fused.refine(self.state, n_bucket)
 
     def run(self, eval_render: bool = True, eval_stride: int = 1,
-            progress: bool = False, viewer=None):
+            progress: bool = False, viewer=None, net_gui=None):
         import numpy as np
         import time
 
@@ -727,7 +727,7 @@ class FusedEngine:
         fps_cap = cfg.engine.fps_cap
         n_bucket, t_bucket = self._pick_buckets(0)
         chunk = cfg.engine.frames_per_dispatch
-        if viewer is not None or fps_cap:
+        if viewer is not None or net_gui is not None or fps_cap:
             chunk = 1  # live modes need per-frame results
         t0 = time.time()
         i = 0
@@ -753,6 +753,13 @@ class FusedEngine:
                                     to_chw(fr.rgb),
                                     jnp.bool_(i == n - 1),
                                     n_bucket, t_bucket)
+            if net_gui is not None:
+                # serve a pending SIBR remote-viewer request against the
+                # current map (reference run_viewer, mp_Mapper.py:272-294)
+                from ..viz.network_gui import make_map_render_fn
+                net_gui.poll(make_map_render_fn(
+                    map_params(state.gmap), state.gmap.live,
+                    cfg.map.sh_degree, cfg.render.bg_color))
             if viewer is not None:
                 # pose of frame i: syncs the device (viewer mode trades FPS
                 # for live output, like the reference's rerun streaming)

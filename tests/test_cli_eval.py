@@ -163,3 +163,54 @@ def test_lpips_unavailable_raises(monkeypatch):
     x = jnp.zeros((3, 32, 32))
     with pytest.raises(FileNotFoundError):
         L.lpips(x, x)
+
+
+def test_lpips_goldens():
+    """Validate our LPIPS against OFFICIAL golden scores on the
+    deterministic fixtures (VERDICT r2 #7).  Skips until (a) a converted
+    weights file is provided via GS_LPIPS_WEIGHTS and (b) the goldens
+    were computed off-image (tools/lpips_goldens.py compute)."""
+    import json
+    import os
+
+    import jax.numpy as jnp
+    import pytest
+
+    from gs_icp_slam_tpu.eval.lpips import lpips
+    from gs_icp_slam_tpu.eval.lpips_fixtures import fixture_pair
+
+    gpath = os.path.join(os.path.dirname(__file__), "fixtures",
+                         "lpips_goldens.json")
+    with open(gpath) as f:
+        goldens = json.load(f)
+    weights = os.environ.get("GS_LPIPS_WEIGHTS")
+    if not goldens.get("pairs"):
+        pytest.skip("goldens pending (no egress here; see fixture note)")
+    if not weights:
+        pytest.skip("set GS_LPIPS_WEIGHTS to a converted weights npz")
+    for name, want in goldens["pairs"].items():
+        a, b = fixture_pair(name)
+        got = float(lpips(jnp.asarray(a), jnp.asarray(b),
+                          weights=weights)[0])
+        assert abs(got - want) < 1e-3, (name, got, want)
+
+
+def test_lpips_fixtures_deterministic():
+    """The fixture pairs are bit-stable (the golden protocol depends on
+    byte-exact reproduction across machines)."""
+    import numpy as np
+
+    from gs_icp_slam_tpu.eval.lpips_fixtures import (FIXTURE_NAMES,
+                                                     fixture_pair)
+
+    # checksums pin the generators; recompute = regenerate goldens
+    sums = {n: float(np.sum(fixture_pair(n)[0]) + 2.0 *
+                     np.sum(fixture_pair(n)[1]))
+            for n in FIXTURE_NAMES}
+    assert abs(sums["gradient_vs_checker"] - 20161.24) < 0.5, sums
+    assert abs(sums["rings_vs_shifted"] - 21324.28) < 0.5, sums
+    assert abs(sums["flat_vs_edge"] - 17203.20) < 0.5, sums
+    for n in FIXTURE_NAMES:
+        a1, b1 = fixture_pair(n)
+        a2, b2 = fixture_pair(n)
+        assert (a1 == a2).all() and (b1 == b2).all()
