@@ -704,7 +704,14 @@ class FusedEngine:
             self.state = self.fused.refine(self.state, n_bucket)
 
     def run(self, eval_render: bool = True, eval_stride: int = 1,
-            progress: bool = False, viewer=None, net_gui=None):
+            progress: bool = False, viewer=None, net_gui=None,
+            checkpoint_every: int = 0, checkpoint_path: str = "",
+            resume_from: str = ""):
+        """checkpoint_every/checkpoint_path: periodic full-state
+        autosave every N frames (crash = lose at most N frames, not the
+        run; the reference loses everything, SURVEY §5).  resume_from:
+        continue a run from such a checkpoint — frames before its
+        frame_idx are skipped."""
         import numpy as np
         import time
 
@@ -717,7 +724,13 @@ class FusedEngine:
         f0 = dataset[0]
         pose0 = np.asarray(
             f0.gt_c2w if f0.gt_c2w is not None else np.eye(4), np.float32)
-        state = init_state(cfg, n, pose0, self.seed)
+        if resume_from:
+            from ..io.checkpoint import load_fused_state
+            state = load_fused_state(resume_from)
+            assert state.poses.shape[0] == n, (
+                "checkpoint was written for a different sequence length")
+        else:
+            state = init_state(cfg, n, pose0, self.seed)
         if self.mesh is not None:
             from ..parallel.sharded import choose_mode, place_state
             state = place_state(state, self.mesh, mode=choose_mode(
@@ -725,13 +738,23 @@ class FusedEngine:
                 getattr(cfg.engine, "parallel_mode", "auto")))
 
         fps_cap = cfg.engine.fps_cap
-        n_bucket, t_bucket = self._pick_buckets(0)
+        n_bucket, t_bucket = self._pick_buckets(
+            int(jax.device_get(state.gmap.n)) if resume_from else 0)
         chunk = cfg.engine.frames_per_dispatch
         if viewer is not None or net_gui is not None or fps_cap:
             chunk = 1  # live modes need per-frame results
+        if checkpoint_every:
+            assert checkpoint_path, "checkpoint_every needs a path"
         t0 = time.time()
-        i = 0
+        i = int(jax.device_get(state.frame_idx)) if resume_from else 0
         while i < n:
+            if (checkpoint_every and i > 0
+                    and i % checkpoint_every < chunk):
+                # periodic autosave (host sync + device->host copy of the
+                # full state: opt-in because it costs ~the state size in
+                # transfer per save)
+                from ..io.checkpoint import save_fused_state
+                save_fused_state(jax.device_get(state), checkpoint_path)
             if i % self.BUCKET_SYNC < chunk and i > 0:
                 # one host sync per BUCKET_SYNC frames keeps the capacity
                 # buckets tracking the map's high-water mark

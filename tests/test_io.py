@@ -85,3 +85,57 @@ def test_checkpoint_resume(tmp_path):
         eng2.step(i, seq[i])
     np.testing.assert_allclose(np.stack(eng.poses), np.stack(eng2.poses),
                                atol=1e-5)
+
+
+def test_engine_periodic_checkpoint_resume(tmp_path):
+    """Crash recovery (SURVEY §5 'beyond'): a run autosaving every 4
+    frames, killed after the save, resumes from disk and finishes with
+    the same trajectory as the uninterrupted run (buckets may differ;
+    they never change results)."""
+    import dataclasses
+
+    import numpy as np
+
+    from gs_icp_slam_tpu.config import synthetic_config
+    from gs_icp_slam_tpu.datasets import open_dataset
+    from gs_icp_slam_tpu.slam import FusedEngine
+
+    seq = open_dataset("synthetic", width=64, height=48, num_frames=8)
+    cfg = synthetic_config(seq.intr, downsample_rate=4, capacity=1 << 13,
+                           target_capacity=1 << 11,
+                           visible_capacity=1 << 10)
+    cfg = cfg.replace(engine=dataclasses.replace(
+        cfg.engine, mapping_iters_per_frame=1, mapping_iters_final=0,
+        keyframe_capacity=8))
+    ck = str(tmp_path / "auto.npz")
+
+    full = FusedEngine(seq, cfg).run(eval_render=False)
+
+    # interrupted run: autosaves at frame 4, "crashes" right after
+    class Dies(Exception):
+        pass
+
+    eng_a = FusedEngine(seq, cfg)
+    orig = __import__("gs_icp_slam_tpu.io.checkpoint",
+                      fromlist=["save_fused_state"]).save_fused_state
+
+    import gs_icp_slam_tpu.io.checkpoint as ckmod
+
+    def save_then_die(state, path):
+        orig(state, path)
+        raise Dies
+
+    ckmod.save_fused_state = save_then_die
+    # the engine imports the symbol lazily inside run(), so patching the
+    # module attribute is enough
+    try:
+        import pytest
+        with pytest.raises(Dies):
+            eng_a.run(eval_render=False, checkpoint_every=4,
+                      checkpoint_path=ck)
+    finally:
+        ckmod.save_fused_state = orig
+
+    res = FusedEngine(seq, cfg).run(eval_render=False, resume_from=ck)
+    assert np.isfinite(res.poses).all()
+    np.testing.assert_allclose(res.poses, full.poses, atol=1e-4)
