@@ -32,7 +32,14 @@ class GICPConfig:
     # search's O(S^2); identical neighbours on locally smooth surfaces);
     # "exact" brute-forces all pairs like fast_gicp's kd-tree
     source_knn: str = "grid"
-    grid_knn_span: int = 2
+    # 0 = auto: the smallest span whose window holds >= ~2.4*k_neighbors
+    # candidates (k=20 -> span 3).  The r2 default span of 2 gave k=20
+    # neighbours only 25 candidates — the selection degenerated to "the
+    # whole window is the neighbourhood", biasing source covariances
+    # toward fixed image-blocks; under a 4x-rotation stress that drifted
+    # ATE 3.4 -> 10.3 cm (r3 root-cause; span 3 restores 3.3 cm, matching
+    # the exact search, at ~0.3 ms extra on the bench frame).
+    grid_knn_span: int = 0
     # initial-guess motion model.  The reference seeds align() with the
     # PREVIOUS pose (constant position, mp_Tracker.py:197) — the default.
     # "constant_velocity" extrapolates the last relative motion: it

@@ -105,7 +105,8 @@ def _build_target(points_nc: jnp.ndarray, cov6: jnp.ndarray,
 def make_source(points: jnp.ndarray, valid: jnp.ndarray,
                 cfg: GICPConfig,
                 trackable: jnp.ndarray | None = None,
-                grid: tuple[int, int] | None = None) -> GICPSource:
+                grid: tuple[int, int] | None = None,
+                use_pallas: bool | None = None) -> GICPSource:
     """Estimate source covariances (the fork's set_source_filter +
     calculate covariance path, mp_Tracker.py:191-195).
 
@@ -123,11 +124,20 @@ def make_source(points: jnp.ndarray, valid: jnp.ndarray,
         trackable = valid
     if grid is not None and cfg.source_knn == "grid":
         from .knn import knn_search_grid
+        # span 0 = auto: smallest window holding >= ~2.4*k candidates so
+        # the k-NN selection stays a real selection (a window of ~k
+        # candidates degenerates to "the whole block is the
+        # neighbourhood" and biases covariances; see GICPConfig)
+        span = cfg.grid_knn_span
+        if span <= 0:
+            span = 1
+            while (2 * span + 1) ** 2 < 2.4 * cfg.k_neighbors:
+                span += 1
         idx, sqd = knn_search_grid(points, valid, grid[0], grid[1],
-                                   k=cfg.k_neighbors,
-                                   span=cfg.grid_knn_span)
+                                   k=cfg.k_neighbors, span=span)
     else:
-        idx, sqd = knn_search(points, points, valid, k=cfg.k_neighbors)
+        idx, sqd = knn_search(points, points, valid, k=cfg.k_neighbors,
+                              use_pallas=use_pallas)
     cov_raw = estimate_covariances(points, idx, valid, neighbor_sqd=sqd,
                                    max_dist=cfg.knn_max_distance)
     quat, scales = cov_to_quat_scale(cov_raw)
@@ -137,13 +147,15 @@ def make_source(points: jnp.ndarray, valid: jnp.ndarray,
 
 
 def target_from_points(points: jnp.ndarray, valid: jnp.ndarray,
-                       cfg: GICPConfig, capacity: int | None = None):
+                       cfg: GICPConfig, capacity: int | None = None,
+                       use_pallas: bool | None = None):
     """Frame-0 target: covariances from kNN over the (already
     world-transformed) first cloud.  Also returns the raw-covariance
     (quat, scale) pairs used to seed the first gaussians.
 
     (mp_Tracker.py:157-169)."""
-    idx, sqd = knn_search(points, points, valid, k=cfg.k_neighbors)
+    idx, sqd = knn_search(points, points, valid, k=cfg.k_neighbors,
+                          use_pallas=use_pallas)
     cov_raw = estimate_covariances(points, idx, valid, neighbor_sqd=sqd,
                                    max_dist=cfg.knn_max_distance)
     quat, scales = cov_to_quat_scale(cov_raw)
@@ -245,10 +257,16 @@ def _inv3x3_sym6(b00, b01, b02, b11, b12, b22):
             E * inv_det, F * inv_det)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
 def gicp_align(source: GICPSource, target: GICPTarget, init_T: jnp.ndarray,
-               cfg: GICPConfig):
+               cfg: GICPConfig, use_pallas: bool | None = None):
     """Align source onto target starting from init_T (camera-to-world).
+
+    `use_pallas` gates the Pallas 1-NN kernel.  None = key off the
+    process default backend; pass an explicit value when the align runs
+    on a mesh whose devices differ from the default backend (the 8-CPU
+    dryrun mesh in a process whose default backend is the TPU plugin —
+    the Pallas kernel cannot lower there).
 
     Returns (T, n_iters): the optimized 4x4 transform mapping source
     (camera) points into the target (world) frame.
@@ -259,7 +277,7 @@ def gicp_align(source: GICPSource, target: GICPTarget, init_T: jnp.ndarray,
     def gn_step(T):
         R = T[:3, :3]
         p = source.points @ R.T + T[:3, 3]        # (S, 3) transformed (MXU)
-        idx, sqd = _nn_target(p, target)
+        idx, sqd = _nn_target(p, target, use_pallas=use_pallas)
         w = (source.valid & (sqd < sq_gate)).astype(jnp.float32)
 
         g9 = tgt9[:, idx]                         # ONE (9, S) lane gather

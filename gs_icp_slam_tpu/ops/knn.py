@@ -112,9 +112,10 @@ def _topk_smallest_iter(d2: jnp.ndarray, k: int):
     return (jnp.stack(idxs, axis=1), jnp.stack(vals, axis=1))
 
 
-@partial(jax.jit, static_argnames=("k", "q_chunk", "method"))
+@partial(jax.jit, static_argnames=("k", "q_chunk", "method", "use_pallas"))
 def knn_search(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
-               k: int = 20, q_chunk: int = 1024, method: str = "auto"):
+               k: int = 20, q_chunk: int = 1024, method: str = "auto",
+               use_pallas: bool | None = None):
     """k-NN indices of each query in ref (self included if query == ref).
 
     Processes query chunks against the full reference (distance rows live in
@@ -129,7 +130,12 @@ def knn_search(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
       sqd: (Q, k) float32 (_BIG where fewer than k valid refs exist).
     """
     if method == "auto":
-        if jax.default_backend() == "tpu" and ref.shape[0] <= (1 << 15):
+        # use_pallas None = key off the process default backend; pass an
+        # explicit False when running on a mesh whose devices are not the
+        # default backend (the virtual-CPU dryrun mesh under a TPU plugin)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and ref.shape[0] <= (1 << 15):
             from .nn_pallas import knn_search_pallas
             return knn_search_pallas(query, ref, ref_valid, k=k)
         method = "iter"

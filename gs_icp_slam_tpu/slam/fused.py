@@ -284,6 +284,11 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
     intr = cfg.intr
     gicp_cfg = cfg.gicp
     tc = cfg.engine.target_capacity
+    # Pallas 1-NN gate for tracking: keyed off the MESH devices, not the
+    # process default backend — on the 8-virtual-CPU dryrun mesh inside a
+    # process whose default backend is the TPU plugin, the kernel cannot
+    # lower (same rule as the rasterizer's use_pallas above).
+    use_pallas = (mesh.devices.flat[0].platform == "tpu") if mesh else None
 
     flat_idxs = jnp.asarray(filt.flat_idxs)
     x_pre = jnp.asarray(filt.x_pre)
@@ -481,7 +486,8 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
             pose0 = state.poses[0]
             pts_w = transform_points(pose0, points)
             target, quat, scales = target_from_points(pts_w, trackable,
-                                                      gicp_cfg, capacity=tc)
+                                                      gicp_cfg, capacity=tc,
+                                                      use_pallas=use_pallas)
             gmap = add_gaussians(state.gmap, pts_w, colors, quat, scales, z,
                                  trackable, valid,
                                  init_opacity=cfg.map.init_opacity)
@@ -496,7 +502,8 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
         def track_frame(state):
             source = make_source(points, valid, gicp_cfg,
                                  trackable=trackable,
-                                 grid=(filt.gh, filt.gw))
+                                 grid=(filt.gh, filt.gw),
+                                 use_pallas=use_pallas)
             prev = state.poses[state.frame_idx - 1]
             if gicp_cfg.motion_model == "constant_velocity":
                 # extrapolate the last relative motion:
@@ -513,7 +520,8 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
             # slots into the prefix, so [: t_bucket] sees all of them.
             T, _, _, sqd = gicp_align(source,
                                       slice_target(state.target, t_bucket),
-                                      init_T, gicp_cfg)
+                                      init_T, gicp_cfg,
+                                      use_pallas=use_pallas)
 
             pts_w = transform_points(T, source.points)
             n_track = jnp.sum(source.valid)

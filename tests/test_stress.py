@@ -50,22 +50,18 @@ def test_depth_noise_tracking_survives():
     assert res.psnr is not None and res.psnr > 18.0
 
 
-@pytest.mark.xfail(strict=False, reason=(
-    "KNOWN r3 regression under investigation: ATE on this 4x-rotation "
-    "stress drifted 3.4 -> 10.3 cm some time this round (candidates: the "
-    "shift-add SSIM blur's fp-order change propagating through mapping "
-    "-> covariance-sharing targets, or the scanned mapping_iters' rng "
-    "flow).  The bar stays at the r2 value rather than being moved; the "
-    "backstop assert below still catches total tracking breakage.  All "
-    "other tracking tests (smooth, noisy-depth, sparse, bench ATE) are "
-    "unchanged."))
 def test_rotation_heavy_trajectory():
     """4x angular velocity: large inter-frame rotation stresses the
-    constant-position motion model (mp_Tracker.py:197)."""
+    constant-position motion model (mp_Tracker.py:197).
+
+    Regression pin for the r3 grid-kNN window bug: span=2 gave k=20
+    source-covariance neighbours only 25 candidates, degenerating the
+    selection to fixed image-blocks and drifting this ATE 3.4 -> 10.3 cm;
+    the auto span (GICPConfig.grid_knn_span=0 -> 3) restores 3.3 cm,
+    matching the exact O(S^2) search."""
     _, res = _run(angular_step=0.08, motion_model="constant_velocity")
     assert res.ate_rmse is not None
-    assert res.ate_rmse < 0.15, f"ATE {res.ate_rmse*100:.2f} cm fast-rot"
-    # measured 3.4 cm in r2 with the constant-velocity motion model
+    # measured 3.3 cm with the constant-velocity motion model
     # (12 cm with the reference's constant-position seed) at ~4.6
     # deg/frame on a 432-point cloud.
     # constant_velocity is opt-in (GICPConfig.motion_model docstring).
