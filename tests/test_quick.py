@@ -25,8 +25,11 @@ def _run_steps(width, height, n_frames, **cfg_kw):
     seq = open_dataset("synthetic", width=width, height=height,
                        num_frames=n_frames)
     cfg = synthetic_config(seq.intr, **cfg_kw)
+    # iters=1: the mapping section of the fused program is python-unrolled
+    # at this count, so each extra iter inflates the CPU compile that
+    # dominates this gate's runtime; 1 iter exercises every code path
     cfg = cfg.replace(engine=dataclasses.replace(
-        cfg.engine, mapping_iters_per_frame=2, keyframe_capacity=8))
+        cfg.engine, mapping_iters_per_frame=1, keyframe_capacity=8))
     eng = FusedEngine(seq, cfg)
     state = init_state(cfg, n_frames, np.asarray(seq[0].gt_c2w, np.float32))
     nb, tb = eng._pick_buckets(0)
@@ -52,7 +55,7 @@ def test_fused_step_small_geometry():
 
 def test_fused_step_wide_geometry():
     """A wider aspect (more tiles), distinct compile shapes."""
-    eng, state = _run_steps(256, 144, 2, downsample_rate=8,
+    eng, state = _run_steps(192, 96, 2, downsample_rate=8,
                             capacity=1 << 14, target_capacity=1 << 12,
                             visible_capacity=1 << 12)
     assert int(jax.device_get(state.gmap.n)) > 0
