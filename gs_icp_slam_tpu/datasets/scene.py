@@ -2,7 +2,7 @@
 reference keeps for its offline render/eval path (scene/__init__.py:22,
 sceneLoadTypeCallbacks at scene/dataset_readers.py:420-423).
 
-Three readers, dispatched by `load_scene`:
+The reference's three readers, dispatched by `load_scene`:
   * "colmap": a COLMAP sparse model (cameras/images/points3D via
     io/colmap.py) — vanilla-3DGS training inputs.
   * "slam": a GS-ICP-SLAM-style capture directory (caminfo.txt +
@@ -10,6 +10,8 @@ Three readers, dispatched by `load_scene`:
     reference fills identity poses (readSLAMCameras:201-202) and patches
     them from the tracker's final_pose afterwards; here poses.npy /
     poses.txt in the directory is honored when present.
+  * "blender": NeRF-synthetic transforms_train.json captures
+    (readNerfSyntheticInfo, dataset_readers.py:384-410).
   * auto: `load_scene(path)` picks by what exists on disk.
 """
 from __future__ import annotations
@@ -98,6 +100,76 @@ def load_slam_scene(path: str, images_dir: str = "images") -> SceneInfo:
                      ply_path=ply if os.path.exists(ply) else None)
 
 
+def load_blender_scene(path: str, white_background: bool = False,
+                       extension: str = ".png",
+                       include_test: bool = True,
+                       seed: int = 0) -> SceneInfo:
+    """NeRF-synthetic (Blender) capture: transforms_train.json holds
+    camera_angle_x + per-frame camera-to-world matrices in OpenGL/Blender
+    axes (Y up, Z back); flip Y/Z to the COLMAP/SLAM convention and invert
+    to w2c (reference readCamerasFromTransforms,
+    scene/dataset_readers.py:342-366).  With no COLMAP model, init points
+    are 100k uniform samples of the scene bounds [-1.3, 1.3]^3
+    (readNerfSyntheticInfo, dataset_readers.py:384-410); `seed` makes that
+    deterministic here.  `include_test` mirrors the reference's
+    eval=False default of folding transforms_test.json into training."""
+    import json
+
+    def read_transforms(fname):
+        tpath = os.path.join(path, fname)
+        if not os.path.exists(tpath):
+            return []
+        with open(tpath) as f:
+            contents = json.load(f)
+        fovx = float(contents["camera_angle_x"])
+        infos = []
+        for idx, frame in enumerate(contents["frames"]):
+            img_rel = frame["file_path"] + extension
+            image_path = os.path.join(path, img_rel)
+            c2w = np.asarray(frame["transform_matrix"], np.float64)
+            c2w[:3, 1:3] *= -1  # OpenGL/Blender -> COLMAP camera axes
+            w2c = np.linalg.inv(c2w)
+            width, height = _image_size(image_path)
+            # fov -> pixel focal: fx from camera_angle_x and width; square
+            # pixels (fov2focal, utils/graphics_utils.py)
+            fx = width / (2.0 * np.tan(fovx / 2.0))
+            infos.append(CameraInfo(
+                uid=idx, w2c=w2c, width=width, height=height,
+                fx=fx, fy=fx, cx=width / 2.0, cy=height / 2.0,
+                image_path=image_path))
+        return infos
+
+    cams = read_transforms("transforms_train.json")
+    if include_test:
+        cams = cams + read_transforms("transforms_test.json")
+    ply = os.path.join(path, "points3d.ply")
+    if os.path.exists(ply):
+        return SceneInfo(cameras=cams, ply_path=ply)
+    rng = np.random.default_rng(seed)
+    num_pts = 100_000
+    xyz = (rng.random((num_pts, 3)) * 2.6 - 1.3).astype(np.float32)
+    rgb = rng.integers(0, 256, (num_pts, 3)).astype(np.uint8)
+    return SceneInfo(cameras=cams, points_xyz=xyz, points_rgb=rgb)
+
+
+def _image_size(image_path: str) -> tuple:
+    """(width, height) of a PNG/JPEG without decoding pixel data; falls
+    back to a PIL open for other formats."""
+    import struct
+
+    try:
+        with open(image_path, "rb") as f:
+            head = f.read(26)
+        if head.startswith(b"\x89PNG\r\n\x1a\n"):
+            w, h = struct.unpack(">II", head[16:24])
+            return int(w), int(h)
+    except OSError:
+        pass
+    from PIL import Image
+    with Image.open(image_path) as im:
+        return im.size
+
+
 def _load_poses(path: str, n: int) -> np.ndarray:
     """poses.npy / poses.txt (c2w, one 4x4 per frame) if saved by a run;
     identity otherwise (the reference's readSLAMCameras default)."""
@@ -121,11 +193,16 @@ def load_scene(path: str, kind: Optional[str] = None, **kw) -> SceneInfo:
             kind = "colmap"
         elif os.path.exists(os.path.join(path, "caminfo.txt")):
             kind = "slam"
+        elif os.path.exists(os.path.join(path, "transforms_train.json")):
+            kind = "blender"
         else:
             raise FileNotFoundError(
-                f"{path}: neither sparse/ (COLMAP) nor caminfo.txt (SLAM)")
+                f"{path}: no sparse/ (COLMAP), caminfo.txt (SLAM), or "
+                f"transforms_train.json (Blender)")
     if kind == "colmap":
         return load_colmap_scene(path, **kw)
     if kind == "slam":
         return load_slam_scene(path, **kw)
+    if kind == "blender":
+        return load_blender_scene(path, **kw)
     raise ValueError(kind)

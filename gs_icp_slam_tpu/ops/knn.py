@@ -160,10 +160,31 @@ def knn_search(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
     return idx, sqd
 
 
+def resolve_grid_span(k: int, span: int = 0) -> int:
+    """Resolve GICPConfig.grid_knn_span's auto sentinel (span <= 0): the
+    smallest window holding >= ~2.4*k candidates, so the k-NN selection
+    stays a real selection — a window of only ~k candidates degenerates to
+    "the whole block is the neighbourhood" and biases covariances toward
+    fixed image blocks (round-3 root cause of the rotation-stress ATE
+    regression; see PROFILE_r03.json known_issues).
+
+    The ONE home of the auto-span heuristic (ADVICE r3): make_source and
+    every profiling script resolve spans through here.
+    """
+    if span > 0:
+        return span
+    span = 1
+    while (2 * span + 1) ** 2 < 2.4 * k:
+        span += 1
+    return span
+
+
 @partial(jax.jit, static_argnames=("gh", "gw", "k", "span"))
 def knn_search_grid(points: jnp.ndarray, valid: jnp.ndarray, gh: int,
                     gw: int, k: int = 20, span: int = 2):
     """k-NN restricted to a (2*span+1)^2 image-grid window: O(S*W^2).
+
+    span <= 0 means auto (resolve_grid_span).
 
     The per-frame source cloud IS a regular pixel-grid subsample
     (mp_Tracker.py:415-431 / make_downsample_filter), stored row-major as
@@ -182,6 +203,7 @@ def knn_search_grid(points: jnp.ndarray, valid: jnp.ndarray, gh: int,
     Returns (idx (S, k) int32 nearest-first, sqd (S, k) float32) — the
     knn_search contract.
     """
+    span = resolve_grid_span(k, span)
     W = 2 * span + 1
     assert k <= W * W, (k, W)
     S = gh * gw

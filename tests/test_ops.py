@@ -12,6 +12,7 @@ from gs_icp_slam_tpu.ops.covariance import (cov_to_quat_scale,
                                             quat_scale_to_reg_cov,
                                             regularize_plane)
 from gs_icp_slam_tpu.ops.gicp import (GICPTarget, gicp_align, make_source,
+                                      target_from_gaussians,
                                       target_from_points)
 from gs_icp_slam_tpu.config import GICPConfig
 from gs_icp_slam_tpu.utils.se3 import se3_exp
@@ -228,6 +229,46 @@ class TestGICP:
         np.testing.assert_allclose(T_est[:3, 3], T_true[:3, 3], atol=2e-3)
         np.testing.assert_allclose(T_est[:3, :3], T_true[:3, :3], atol=2e-3)
         assert int(n_iters) < 64
+
+    def test_covariance_sharing_matches_knn_recompute(self):
+        """The paper's core claim (SURVEY §intro #3; mp_Tracker.py:286-288):
+        feeding the tracker MAP-side quat/scale covariances
+        (target_from_gaussians = set_target_covariances_fromqs) must give
+        the same registration as recomputing target covariances by kNN on
+        the same cloud (target_from_points) — the sharing skips work, not
+        accuracy.  VERDICT r3 #7."""
+        cfg = GICPConfig(max_correspondence_distance=0.5, k_neighbors=10)
+        target_pts = make_room_cloud(2000, seed=3)
+        valid = jnp.ones(len(target_pts), bool)
+
+        # kNN-recomputed covariances AND their exported (quat, scale)
+        # pairs — exactly what the map stores for each gaussian
+        target_knn, quat, scales = target_from_points(
+            jnp.asarray(target_pts), valid, cfg)
+        # map->tracker injection path: rebuild covariances from the
+        # stored quat/scale pairs (no kNN)
+        target_fed = target_from_gaussians(jnp.asarray(target_pts), quat,
+                                           scales, valid, cfg)
+
+        # the injected covariances must BE the regularized kNN ones
+        np.testing.assert_allclose(np.asarray(target_fed.cov6),
+                                   np.asarray(target_knn.cov6), atol=5e-3)
+
+        xi = np.array([0.02, -0.01, 0.015, 0.04, -0.02, 0.03], np.float32)
+        T_true = np.asarray(se3_exp(jnp.asarray(xi)))
+        src = ((target_pts - T_true[:3, 3]) @ T_true[:3, :3]).astype(
+            np.float32)
+        source = make_source(jnp.asarray(src), valid, cfg)
+
+        T_knn, _, _, _ = gicp_align(source, target_knn, jnp.eye(4), cfg)
+        T_fed, _, _, _ = gicp_align(source, target_fed, jnp.eye(4), cfg)
+        T_knn, T_fed = np.asarray(T_knn), np.asarray(T_fed)
+        # both recover the motion, and agree with each other tighter than
+        # either agrees with ground truth
+        np.testing.assert_allclose(T_knn[:3, 3], T_true[:3, 3], atol=2e-3)
+        np.testing.assert_allclose(T_fed[:3, 3], T_true[:3, 3], atol=2e-3)
+        np.testing.assert_allclose(T_fed[:3, 3], T_knn[:3, 3], atol=5e-4)
+        np.testing.assert_allclose(T_fed[:3, :3], T_knn[:3, :3], atol=5e-4)
 
     def test_align_with_initial_guess_and_partial_overlap(self):
         cfg = GICPConfig(max_correspondence_distance=0.3, k_neighbors=10)

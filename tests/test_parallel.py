@@ -153,6 +153,114 @@ def test_sharded_engine_end_to_end():
     assert res.psnr is not None and res.psnr > 22.0, res.psnr
 
 
+_SHAPE_BYTES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1,
+                "u8": 1, "s8": 1, "f64": 8}
+
+
+def _collective_shapes(hlo_text):
+    """Parse the optimized HLO for collective ops -> {op: [(dtype, nelems)]}.
+
+    Handles both plain and tuple result types and async -start variants."""
+    import re
+
+    out = {}
+    for m in re.finditer(
+            r"= (\([^)]*\)|\S+?) (all-reduce|all-gather|reduce-scatter|"
+            r"collective-permute|all-to-all)(?:-start)?\(", hlo_text):
+        shapes = re.findall(r"(\w+)\[([\d,]*)\]", m.group(1))
+        parsed = []
+        for dt, dims in shapes:
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            parsed.append((dt, n))
+        out.setdefault(m.group(2), []).append(parsed)
+    return out
+
+
+def _coll_bytes(entries, exclude_scalar=False):
+    tot = 0
+    for op in entries:
+        for dt, n in op:
+            if exclude_scalar and n <= 4:
+                continue
+            tot += _SHAPE_BYTES[dt] * n
+    return tot
+
+
+@pytest.mark.quick
+def test_collective_audit():
+    """Machine-check the multi-chip comm claims (VERDICT r3 #4) against the
+    COMPILED HLO, so the scaling story survives refactors:
+
+      dp   — the map is replicated; the ONLY array-sized collective is the
+             grad all-reduce, whose float bytes equal the param bytes
+             (plus the 4-byte loss).  No all-gather, no reduce-scatter,
+             no permutes: zero O(capacity) param movement per iteration.
+      fsdp — params+live all-gather in (param bytes + live bytes), grads
+             reduce-scatter out (param bytes / n_dev per-shard output),
+             and all-reduces carry only scalars (loss + stats).
+
+    Also pins the ring-all-reduce byte model SCALING.json's
+    comm_bytes_per_device_per_iter table is derived from."""
+    devices = jax.devices("cpu")
+    n_dev = len(devices)
+    mesh = make_mesh(devices)
+    hlo = {}
+    for mode in ("dp", "fsdp"):
+        cfg = _tiny_cfg(n_dev)
+        cfg = cfg.replace(engine=dataclasses.replace(cfg.engine,
+                                                     parallel_mode=mode))
+        gmap = _populated_map(cfg)
+        params = map_params(gmap)
+        adam = adam_init(params)
+        w2c_b, rgb_b, depth_b = _keyframe_batch(cfg, n_dev)
+        prim = make_mapping_primitives(cfg, mesh)
+        txt = jax.jit(prim.opt_step_batched).lower(
+            params, adam, gmap.live, w2c_b, rgb_b, depth_b
+        ).compile().as_text()
+        hlo[mode] = _collective_shapes(txt)
+        param_bytes = sum(np.asarray(v).nbytes for v in params.values())
+
+    # --- dp: exactly one grad-sized all-reduce, nothing else array-sized
+    dp = hlo["dp"]
+    assert "all-gather" not in dp, dp.keys()
+    assert "reduce-scatter" not in dp, dp.keys()
+    assert "collective-permute" not in dp and "all-to-all" not in dp
+    ar_bytes = _coll_bytes(dp["all-reduce"], exclude_scalar=True)
+    assert ar_bytes == param_bytes, (ar_bytes, param_bytes)
+
+    # --- fsdp: all-gather = params + live mask; reduce-scatter = one
+    # shard of the grads per param; all-reduce = scalars only
+    fs = hlo["fsdp"]
+    live_bytes = _tiny_cfg(n_dev).map.capacity  # pred[capacity]
+    ag_bytes = _coll_bytes(fs["all-gather"])
+    assert ag_bytes == param_bytes + live_bytes, (
+        ag_bytes, param_bytes, live_bytes)
+    rs_bytes = _coll_bytes(fs["reduce-scatter"])
+    assert rs_bytes == param_bytes // n_dev, (rs_bytes, param_bytes, n_dev)
+    assert _coll_bytes(fs["all-reduce"], exclude_scalar=True) == 0, (
+        "fsdp all-reduces must carry only scalars", fs["all-reduce"])
+    assert "collective-permute" not in fs and "all-to-all" not in fs
+
+    # --- the byte model behind SCALING.json's comm table: ring all-reduce
+    # moves 2(n-1)/n * param_bytes per device per iteration
+    import json
+    import os
+    scaling_path = os.path.join(os.path.dirname(__file__), "..",
+                                "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        pb = sc["param_bytes"]
+        for n_s, bytes_claimed in sc[
+                "comm_bytes_per_device_per_iter"].items():
+            n_i = int(n_s)
+            assert bytes_claimed == 2 * (n_i - 1) * pb // n_i, (
+                n_s, bytes_claimed)
+
+
 def test_state_shardings_layout():
     mesh = make_mesh(jax.devices("cpu"))
     from gs_icp_slam_tpu.slam.state import init_state

@@ -122,3 +122,60 @@ def test_scene_slam_directory(tmp_path):
     assert c.depth_path is not None and c.depth_scale == 1000.0
     # w2c = inv(c2w): translation flips sign for identity rotation
     np.testing.assert_allclose(c.w2c[0, 3], -0.1, atol=1e-12)
+
+
+def _write_png(path, w=8, h=6):
+    """Minimal valid PNG header (the blender reader only parses IHDR)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        c = tag + data
+        return (struct.pack(">I", len(data)) + c
+                + struct.pack(">I", zlib.crc32(c)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x80" * (3 * w) for _ in range(h))
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw)))
+        f.write(chunk(b"IEND", b""))
+
+
+def test_scene_blender_directory(tmp_path):
+    """NeRF-synthetic reader parity (sceneLoadTypeCallbacks['Blender'],
+    reference dataset_readers.py:384,420-423): transforms_train.json ->
+    CameraInfo with the OpenGL->COLMAP axis flip, fov->focal, and the
+    deterministic random init cloud."""
+    import json
+
+    d = tmp_path / "lego"
+    d.mkdir()
+    (d / "train").mkdir()
+    # c2w: camera at z=+2 looking toward origin in Blender axes
+    c2w = np.eye(4)
+    c2w[2, 3] = 2.0
+    meta = {"camera_angle_x": 0.8,
+            "frames": [{"file_path": "./train/r_0",
+                        "transform_matrix": c2w.tolist()}]}
+    with open(d / "transforms_train.json", "w") as f:
+        json.dump(meta, f)
+    _write_png(str(d / "train" / "r_0.png"), w=8, h=6)
+
+    info = load_scene(str(d))  # auto-dispatch via transforms_train.json
+    assert len(info.cameras) == 1
+    cam = info.cameras[0]
+    assert (cam.width, cam.height) == (8, 6)
+    # fx = W / (2 tan(fovx/2))
+    np.testing.assert_allclose(cam.fx, 8 / (2 * np.tan(0.4)), rtol=1e-6)
+    assert cam.fy == cam.fx
+    # axis flip: blender c2w with +z position, y-up becomes a w2c whose
+    # rotation flips y and z; translation moves camera to origin
+    expect_w2c = np.linalg.inv(c2w @ np.diag([1.0, -1.0, -1.0, 1.0]))
+    np.testing.assert_allclose(cam.w2c, expect_w2c, atol=1e-12)
+    # no points3d.ply -> deterministic random init cloud in [-1.3, 1.3]
+    assert info.points_xyz is not None and len(info.points_xyz) == 100_000
+    assert np.all(np.abs(info.points_xyz) <= 1.3)
+    info2 = load_scene(str(d), kind="blender")
+    np.testing.assert_array_equal(info.points_xyz, info2.points_xyz)
