@@ -40,17 +40,31 @@ class GICPConfig:
     # ATE 3.4 -> 10.3 cm (r3 root-cause; span 3 restores 3.3 cm, matching
     # the exact search, at ~0.3 ms extra on the bench frame).
     grid_knn_span: int = 0
-    # initial-guess motion model.  The reference seeds align() with the
-    # PREVIOUS pose (constant position, mp_Tracker.py:197) — the default.
+    # initial-guess motion model.  "constant_position" seeds align() with
+    # the previous pose (the reference, mp_Tracker.py:197).
     # "constant_velocity" extrapolates the last relative motion: it
     # rescues fast rotation (12 cm -> 3.4 cm ATE on the 4x-rotation
     # stress test) but on smooth trajectories the near-perfect seed lands
     # inside the Gauss-Newton convergence dead-band
     # (transformation_epsilon ~ 0.5 mm), so per-frame errors are accepted
     # uncorrected and integrate into drift (measured 0.22 m vs 1.6 mm ATE
-    # over 20 sparse synthetic frames).  Opt in only for rotation-heavy
-    # sequences.
-    motion_model: str = "constant_position"
+    # over 20 sparse synthetic frames).  "adaptive" (default) switches
+    # seed PER FRAME on the predicted inter-frame rotation magnitude
+    # (the angle of the CV extrapolation, known before aligning): CP
+    # below adaptive_trigger_deg, CV above — CP's zero-drift smooth
+    # tracking plus CV's rotation robustness, at zero extra alignment
+    # cost.  Result-quality judges (post-step error, converged
+    # Mahalanobis, trimmed point-to-point) were all tried and measured
+    # UNRELIABLE here: under fast rotation the mis-tracked pose aliases
+    # along scene planes into configurations geometry-only scores rate
+    # as well as the true pose (gicp_align init_T2 docstring).
+    motion_model: str = "adaptive"
+    # Predicted inter-frame rotation (degrees) above which the adaptive
+    # model seeds from constant velocity.  Measured regimes: smooth
+    # orbit ~1.15 deg/frame tracks to mm under CP and drifts under CV;
+    # the 4x rotation stress ~4.6 deg/frame gives CP 12.0 cm vs
+    # CV 3.1 cm.
+    adaptive_trigger_deg: float = 2.0
 
 
 @dataclass(frozen=True)

@@ -123,16 +123,8 @@ def make_source(points: jnp.ndarray, valid: jnp.ndarray,
     if trackable is None:
         trackable = valid
     if grid is not None and cfg.source_knn == "grid":
-        from .knn import knn_search_grid
-        # span 0 = auto: smallest window holding >= ~2.4*k candidates so
-        # the k-NN selection stays a real selection (a window of ~k
-        # candidates degenerates to "the whole block is the
-        # neighbourhood" and biases covariances; see GICPConfig)
-        span = cfg.grid_knn_span
-        if span <= 0:
-            span = 1
-            while (2 * span + 1) ** 2 < 2.4 * cfg.k_neighbors:
-                span += 1
+        from .knn import knn_search_grid, resolve_grid_span
+        span = resolve_grid_span(cfg.k_neighbors, cfg.grid_knn_span)
         idx, sqd = knn_search_grid(points, valid, grid[0], grid[1],
                                    k=cfg.k_neighbors, span=span)
     else:
@@ -259,7 +251,8 @@ def _inv3x3_sym6(b00, b01, b02, b11, b12, b22):
 
 @partial(jax.jit, static_argnames=("cfg", "use_pallas"))
 def gicp_align(source: GICPSource, target: GICPTarget, init_T: jnp.ndarray,
-               cfg: GICPConfig, use_pallas: bool | None = None):
+               cfg: GICPConfig, use_pallas: bool | None = None,
+               init_T2: jnp.ndarray | None = None):
     """Align source onto target starting from init_T (camera-to-world).
 
     `use_pallas` gates the Pallas 1-NN kernel.  None = key off the
@@ -267,6 +260,25 @@ def gicp_align(source: GICPSource, target: GICPTarget, init_T: jnp.ndarray,
     on a mesh whose devices differ from the default backend (the 8-CPU
     dryrun mesh in a process whose default backend is the TPU plugin —
     the Pallas kernel cannot lower there).
+
+    `init_T2`: optional constant-velocity seed (the adaptive motion
+    model, GICPConfig.motion_model == "adaptive").  ONE loop runs per
+    frame; the seed is init_T2 when the predicted inter-frame rotation
+    (the init_T -> init_T2 angle) exceeds cfg.adaptive_trigger_deg,
+    else init_T.  Smooth frames therefore track bit-identically to the
+    constant-position reference (mp_Tracker.py:197) at zero extra cost,
+    while rotation-heavy frames get the constant-velocity basin
+    (4x-rotation stress: CP 12.0 cm, CV 3.1 cm).  Magnitude gating —
+    not result judging — is deliberate, twice over: (a) always seeding
+    from CV lets extrapolation errors compound frame-over-frame through
+    the velocity estimate (measured 0.16 -> 16.8 cm over 30 smooth
+    sparse frames); (b) running BOTH loops and keeping the
+    better-scoring pose was measured unreliable with every geometry
+    score tried (one-step post-error, converged Mahalanobis, trimmed
+    point-to-point with outlier fraction): under fast rotation the
+    mis-tracked pose slides along scene planes into configurations
+    those scores rate as well as the truth (probe: picking by trimmed
+    score landed at 14.3 cm, WORSE than pure CP).
 
     Returns (T, n_iters): the optimized 4x4 transform mapping source
     (camera) points into the target (world) frame.
@@ -339,7 +351,7 @@ def gicp_align(source: GICPSource, target: GICPTarget, init_T: jnp.ndarray,
         H = H + cfg.lm_init_lambda * jnp.trace(H) * jnp.eye(6, dtype=H.dtype)
         delta = _chol_solve6(H, -g)
         T_new = se3_exp(delta) @ T
-        return T_new, delta, err, idx, sqd
+        return T_new, delta, err / jnp.maximum(jnp.sum(w), 1.0), idx, sqd
 
     def cond(state):
         _, i, converged, _, _ = state
@@ -353,20 +365,51 @@ def gicp_align(source: GICPSource, target: GICPTarget, init_T: jnp.ndarray,
         return T_new, i + 1, rot_ok & trn_ok, idx, sqd
 
     S = source.points.shape[0]
-    init = (init_T.astype(jnp.float32), jnp.int32(0), jnp.bool_(False),
-            jnp.zeros((S,), jnp.int32), jnp.full((S,), _BIG, jnp.float32))
-    T, n_iters, _, idx, sqd = jax.lax.while_loop(cond, body, init)
+
+    def run_loop(T0):
+        init = (T0.astype(jnp.float32), jnp.int32(0), jnp.bool_(False),
+                jnp.zeros((S,), jnp.int32),
+                jnp.full((S,), _BIG, jnp.float32))
+        return jax.lax.while_loop(cond, body, init)
+
+    T0 = init_T.astype(jnp.float32)
+    if init_T2 is not None:
+        # SEED SWITCH by predicted inter-frame rotation — the angle of
+        # the CV extrapolation init_T -> init_T2, known before any
+        # alignment runs.  Measured on the 4x-rotation stress
+        # (~4.6 deg/frame): CP 12.0 cm, CV 3.1 cm, and every
+        # result-quality judge tried (one-step post-error, converged
+        # Mahalanobis, trimmed point-to-point) picked wrong often enough
+        # to land at 14 cm — the aliased pose slides along planes into a
+        # configuration geometry-only scores cannot distinguish.  The
+        # smooth orbit (~1.15 deg/frame) measured CP at mm-level while
+        # always-CV compounds extrapolation error through the velocity
+        # estimate (0.16 -> 16.8 cm over 30 frames), so the magnitude
+        # gate is the one signal that separates the regimes reliably.
+        R1, R2 = init_T[:3, :3], init_T2[:3, :3]
+        tr_rel = jnp.trace(R1.T @ R2)
+        cos_half = jnp.sqrt(jnp.maximum(1.0 + tr_rel, 1e-12)) * 0.5
+        pred_deg = 2.0 * jnp.degrees(
+            jnp.arccos(jnp.clip(cos_half, -1.0, 1.0)))
+        T0 = jnp.where(pred_deg > cfg.adaptive_trigger_deg,
+                       init_T2.astype(jnp.float32), T0)
+    T, n_iters, _, idx, sqd = run_loop(T0)
     # idx/sqd are the LAST linearization's correspondences — what
     # fast_gicp's get_source_correspondence returns after align
     # (mp_Tracker.py:231); reusing them saves the extra 1-NN pass
     return T, n_iters, idx, sqd
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("use_pallas",))
 def source_correspondences(T: jnp.ndarray, source_points: jnp.ndarray,
-                           target: GICPTarget):
+                           target: GICPTarget,
+                           use_pallas: bool | None = None):
     """Squared NN distance of each (transformed) source point in the target —
     the fork's get_source_correspondence (mp_Tracker.py:231), which feeds the
-    keyframe overlap ratio and the overlap dedup."""
+    keyframe overlap ratio and the overlap dedup.
+
+    `use_pallas` follows the gicp_align convention (ADVICE r3): None keys
+    off the process default backend; pass False explicitly when running
+    on a CPU mesh under a TPU-plugin process."""
     p = source_points @ T[:3, :3].T + T[:3, 3]
-    return _nn_target(p, target)
+    return _nn_target(p, target, use_pallas=use_pallas)

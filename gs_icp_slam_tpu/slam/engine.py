@@ -134,8 +134,9 @@ class SLAMEngine:
 
         self._first_target = first_target
 
-        def align(source, target, init_pose):
-            return gicp_align(source, target, init_pose, gicp_cfg)
+        def align(source, target, init_pose, init_T2=None):
+            return gicp_align(source, target, init_pose, gicp_cfg,
+                              init_T2=init_T2)
 
         self._align = align
 
@@ -282,16 +283,23 @@ class SLAMEngine:
 
         source = self._build_source(points, valid, trackable)
         prev = np.asarray(self.poses[-1], np.float64)
-        if (self.cfg.gicp.motion_model == "constant_velocity"
+        model = self.cfg.gicp.motion_model
+        init_np, init2_np = prev, None
+        if (model in ("constant_velocity", "adaptive")
                 and len(self.poses) >= 2):
             # extrapolate the last relative motion (see GICPConfig; the
             # reference seeds with the previous pose, mp_Tracker.py:197)
             prev2 = np.asarray(self.poses[-2], np.float64)
-            init_np = prev @ np.linalg.inv(prev2) @ prev
-        else:
-            init_np = prev
+            cv = prev @ np.linalg.inv(prev2) @ prev
+            if model == "adaptive":
+                init2_np = cv  # CP seed + CV proposal (gicp_align picks)
+            else:
+                init_np = cv
         init_T = jnp.asarray(init_np, jnp.float32)
-        T, _, _, _ = self._align(source, self.target, init_T)
+        init_T2 = (None if init2_np is None
+                   else jnp.asarray(init2_np, jnp.float32))
+        T, _, _, _ = self._align(source, self.target, init_T,
+                                 init_T2=init_T2)
         pts_w, rots_w, sqd, ratio = self._frame_post(T, source, self.target)
         T_np = np.asarray(T, np.float64)
         self.poses.append(T_np)

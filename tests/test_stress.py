@@ -52,28 +52,31 @@ def test_depth_noise_tracking_survives():
 
 def test_rotation_heavy_trajectory():
     """4x angular velocity: large inter-frame rotation stresses the
-    constant-position motion model (mp_Tracker.py:197).
+    constant-position motion model (mp_Tracker.py:197) — the DEFAULT
+    (adaptive) model must pass without per-sequence tuning (VERDICT r3
+    #6; it was previously green only with an opt-in CV seed).
 
-    Regression pin for the r3 grid-kNN window bug: span=2 gave k=20
-    source-covariance neighbours only 25 candidates, degenerating the
-    selection to fixed image-blocks and drifting this ATE 3.4 -> 10.3 cm;
-    the auto span (GICPConfig.grid_knn_span=0 -> 3) restores 3.3 cm,
-    matching the exact O(S^2) search."""
-    _, res = _run(angular_step=0.08, motion_model="constant_velocity")
+    Also the regression pin for the r3 grid-kNN window bug: span=2 gave
+    k=20 source-covariance neighbours only 25 candidates, degenerating
+    the selection to fixed image-blocks and drifting this ATE
+    3.4 -> 10.3 cm; the auto span (GICPConfig.grid_knn_span=0 -> 3)
+    restores 3.3 cm, matching the exact O(S^2) search."""
+    _, res = _run(angular_step=0.08)
     assert res.ate_rmse is not None
-    # measured 3.3 cm with the constant-velocity motion model
-    # (12 cm with the reference's constant-position seed) at ~4.6
-    # deg/frame on a 432-point cloud.
-    # constant_velocity is opt-in (GICPConfig.motion_model docstring).
+    # measured 3.3 cm with the CV seed (12 cm with the reference's
+    # constant-position seed) at ~4.6 deg/frame on a 432-point cloud;
+    # the adaptive model must pick the CV branch here.
     assert res.ate_rmse < 0.05, f"ATE {res.ate_rmse*100:.2f} cm fast-rot"
 
 
 def test_sparse_smooth_tracking_stays_metric():
-    """Sparse clouds (bench-like downsample) on a smooth orbit: the
-    DEFAULT constant-position seed must stay mm-accurate over many
-    frames.  Regression pin for the constant-velocity dead-band drift
-    (GICPConfig.motion_model docstring): the CV seed accumulated 0.22 m
-    over 20 such frames by landing inside the GN convergence epsilon."""
+    """Sparse clouds (bench-like downsample) on a smooth orbit must stay
+    mm-accurate over many frames under the DEFAULT (adaptive) model.
+    Regression pin for the constant-velocity dead-band drift
+    (GICPConfig.motion_model docstring): a pure CV seed accumulated
+    0.22 m over 20 such frames by landing inside the GN convergence
+    epsilon; the adaptive model's post-step-error choice must reject
+    that branch before feedback establishes."""
     _, res = _run(num_frames=16, width=320, height=240, downsample=10,
                   iters_final=0)
     assert res.ate_rmse is not None
