@@ -224,9 +224,22 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
                     attr_v16)   # (T, 8, P)
         tfin_px = out8[:, 4]                        # (T, P)
         color_px = out8[:, 0:3] + tfin_px[:, None, :] * bg[None, :, None]
-        color_t = jnp.moveaxis(color_px, 1, 2).reshape(T, tile, tile, 3)
-        depth_t = out8[:, 3].reshape(T, tile, tile)
-        tfin_t = tfin_px.reshape(T, tile, tile)
+        # CHANNEL-FIRST assembly straight from (T, C, P): the previous
+        # moveaxis -> (T, P, 3) -> HWC -> transpose chain materialized
+        # trailing-3 layouts (padded to the 128-lane tile) whose forward
+        # AND vjp transposes traced at ~1.7 ms each per mapping
+        # iteration; this path never leaves channel-first
+        def untile_cf(x):
+            # (T, C, P) -> (C, H, W)
+            C = x.shape[1]
+            x = x.reshape(nty, ntx, C, tile, tile)
+            x = jnp.moveaxis(x, 2, 0)               # (C, nty, ntx, t, t)
+            x = jnp.swapaxes(x, 2, 3)               # (C, nty, t, ntx, t)
+            return x.reshape(C, nty * tile, ntx * tile)[:, :height, :width]
+
+        color = untile_cf(color_px)
+        depth_img = untile_cf(out8[:, 3:4])[0]
+        t_final = untile_cf(out8[:, 4:5])[0]
         if want_used:
             gpos = jnp.minimum(
                 start[:, None] + jnp.arange(K, dtype=jnp.int32)[None],
@@ -300,16 +313,18 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
         depth_t = depth_t.reshape(T + pad_t, tile, tile)[:T]
         tfin_t = tfin_t.reshape(T + pad_t, tile, tile)[:T]
 
-    # ---- assemble ---------------------------------------------------------
-    def untile(x):
-        extra = x.shape[3:]
-        x = x.reshape(nty, ntx, tile, tile, *extra)
-        x = jnp.swapaxes(x, 1, 2).reshape(nty * tile, ntx * tile, *extra)
-        return x[:height, :width]
+        # ---- assemble (XLA fallback path only; the Pallas path builds
+        # the channel-first images directly above) --------------------------
+        def untile(x):
+            extra = x.shape[3:]
+            x = x.reshape(nty, ntx, tile, tile, *extra)
+            x = jnp.swapaxes(x, 1, 2).reshape(nty * tile, ntx * tile,
+                                              *extra)
+            return x[:height, :width]
 
-    color = untile(color_t).transpose(2, 0, 1)
-    depth_img = untile(depth_t)
-    t_final = untile(tfin_t)
+        color = untile(color_t).transpose(2, 0, 1)
+        depth_img = untile(depth_t)
+        t_final = untile(tfin_t)
 
     is_used = None
     if want_used:

@@ -434,25 +434,29 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
                               stat_pair_dropped=pair_drop)
 
     # ---------------- keyframe insertion ----------------
-    def store_keyframe(state, w2c, rgb_u8, depth_raw, do_store):
-        """Store a keyframe; once the store is full, EVICT a uniformly
-        random old slot (reservoir-style).  The reference keeps every
-        keyframe and the mapper samples uniformly from them
+    # The BOOKKEEPING runs inside the frame's lax.cond branches; the
+    # actual (Kc, 3, H, W) + (Kc, H, W) store WRITES happen once at the
+    # step's top level (see `step`).  Round 3 carried the stores through
+    # the branch conds and XLA picked branch-internal layouts, inserting
+    # full-store async layout copies EVERY frame — ~10.6 ms at the
+    # production keyframe_capacity=256 (PROFILE_r03 layout_findings,
+    # VERDICT r3 #3).  Outside every cond, the update is one in-place
+    # dynamic-update-slice of the donated buffers.
+    def store_keyframe(state, do_store):
+        """Pick a slot (reservoir eviction once full) and update the
+        counters; the caller writes the pixel stores.  The reference
+        keeps every keyframe and the mapper samples uniformly from them
         (mp_Mapper.py:174-206); a uniform-eviction reservoir keeps the
         stored set an (approximately) uniform sample of the full history,
         so the mapper's sampling distribution matches at bounded memory.
         kf_total > kf_count signals that eviction has happened."""
-        kc = state.kf_w2c.shape[0]
+        kc = cfg.engine.keyframe_capacity
         rng, sub = jax.random.split(state.rng)
         victim = jax.random.randint(sub, (), 0, kc)
         slot_in = jnp.where(state.kf_count < kc, state.kf_count, victim)
-        slot = jnp.where(do_store, slot_in, kc)
-        kf_w2c = state.kf_w2c.at[slot].set(w2c, mode="drop")
-        kf_rgb = state.kf_rgb.at[slot].set(rgb_u8, mode="drop")
-        kf_depth = state.kf_depth.at[slot].set(depth_raw, mode="drop")
         stored = do_store.astype(jnp.int32)
         return state._replace(
-            kf_w2c=kf_w2c, kf_rgb=kf_rgb, kf_depth=kf_depth, rng=rng,
+            rng=rng,
             kf_count=jnp.minimum(state.kf_count + stored, kc),
             kf_total=state.kf_total + stored,
             new_kf=jnp.where(do_store, slot_in, state.new_kf))
@@ -493,8 +497,7 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
                                  init_opacity=cfg.map.init_opacity)
             state = state._replace(gmap=gmap, target=target,
                                    last_ratio=jnp.float32(0.0))
-            state = store_keyframe(state, invert_se3(pose0), rgb_u8,
-                                   depth_raw, jnp.bool_(True))
+            state = store_keyframe(state, jnp.bool_(True))
             return state._replace(
                 poses=state.poses.at[0].set(pose0),
                 frame_idx=jnp.int32(1), from_last_kf=jnp.int32(0))
@@ -505,13 +508,20 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
                                  grid=(filt.gh, filt.gw),
                                  use_pallas=use_pallas)
             prev = state.poses[state.frame_idx - 1]
-            if gicp_cfg.motion_model == "constant_velocity":
+            init_T2 = None
+            if gicp_cfg.motion_model in ("constant_velocity", "adaptive"):
                 # extrapolate the last relative motion:
                 # T_init = (T_{k-1} T_{k-2}^{-1}) T_{k-1}; falls back to
                 # constant position on frame 1 (reference mp_Tracker.py:197)
                 prev2 = state.poses[jnp.maximum(state.frame_idx - 2, 0)]
                 delta = prev @ invert_se3(prev2)
-                init_T = jnp.where(state.frame_idx >= 2, delta @ prev, prev)
+                cv = jnp.where(state.frame_idx >= 2, delta @ prev, prev)
+                if gicp_cfg.motion_model == "adaptive":
+                    # default model: CP seed + CV proposal, chosen inside
+                    # gicp_align by post-step error (its docstring)
+                    init_T, init_T2 = prev, cv
+                else:
+                    init_T = cv
             else:
                 init_T = prev
             # align returns the final correspondences too — the separate
@@ -521,7 +531,8 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
             T, _, _, sqd = gicp_align(source,
                                       slice_target(state.target, t_bucket),
                                       init_T, gicp_cfg,
-                                      use_pallas=use_pallas)
+                                      use_pallas=use_pallas,
+                                      init_T2=init_T2)
 
             pts_w = transform_points(T, source.points)
             n_track = jnp.sum(source.valid)
@@ -551,8 +562,7 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
                                      valid & do_insert,
                                      init_opacity=cfg.map.init_opacity)
                 state = state._replace(gmap=gmap)
-                return store_keyframe(state, invert_se3(T), rgb_u8,
-                                      depth_raw, do_insert)
+                return store_keyframe(state, do_insert)
 
             state = jax.lax.cond(do_insert, do_kf, lambda s: s, state)
             state = state._replace(last_ratio=ratio)
@@ -569,8 +579,26 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
                 frame_idx=state.frame_idx + 1,
                 from_last_kf=from_last)
 
-        state = jax.lax.cond(state.frame_idx == 0, first_frame, track_frame,
-                             state)
+        # the pixel keyframe stores NEVER enter a lax.cond: branch-carried
+        # stores let XLA choose branch-internal layouts and insert
+        # full-store async copies every frame (~10.6 ms at Kc=256,
+        # PROFILE_r03 layout_findings).  The branches run on a gutted
+        # state (empty store fields) and only do slot bookkeeping; the
+        # write below is one in-place DUS of the donated buffers.
+        stores = (state.kf_w2c, state.kf_rgb, state.kf_depth)
+        empty = jnp.zeros((0,), jnp.float32)
+        core = state._replace(kf_w2c=empty, kf_rgb=empty, kf_depth=empty)
+        total_before = core.kf_total
+        core = jax.lax.cond(core.frame_idx == 0, first_frame, track_frame,
+                            core)
+        kc = cfg.engine.keyframe_capacity
+        wrote = core.kf_total > total_before
+        slot = jnp.where(wrote, core.new_kf, kc)
+        w2c_cur = invert_se3(core.poses[core.frame_idx - 1])
+        state = core._replace(
+            kf_w2c=stores[0].at[slot].set(w2c_cur, mode="drop"),
+            kf_rgb=stores[1].at[slot].set(rgb_u8, mode="drop"),
+            kf_depth=stores[2].at[slot].set(depth_raw, mode="drop"))
         state = mapping_iters(state, cfg.engine.mapping_iters_per_frame,
                               n_bucket)
         return state
