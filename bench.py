@@ -8,6 +8,25 @@ The scene is the procedural synthetic sequence (no datasets in this
 environment) at Replica sensor geometry: 1200x680 RGB-D, downsample_rate
 10 (=> 8.3k tracked points/frame), full tracker + mapper loop with the
 per-frame mapping budget, identical to the engine test path.
+
+Quality protocol (VERDICT r3 #2): `psnr_pre_refine_db` is the MEAN PSNR
+over every frame of the sequence rendered at the map as it stands when
+tracking ends — no post-run optimization at all (the round-3 bench
+reported the single worst view here, and hid a 22 s refine).  The
+`psnr_db` headline adds refinement capped at the TIMED SEGMENT'S WALL
+TIME: the reference's mapper free-runs only while its tracker runs
+(mp_Mapper.py:154 exits on end_of_dataset), so map-side compute beyond
+the tracking wall would be quality the reference could not have bought.
+
+Mapping hyperparameters: `mapping_iters_per_frame=2` with
+`init_opacity=0.5` and `feature_lr=1e-2` (vs the reference's 0.1 /
+2.5e-3, which are tuned for a free-running mapper doing hundreds of
+iterations per second on a desktop GPU).  At a 2-iteration/frame budget
+the reference values leave fresh splats nearly transparent for dozens of
+frames (mean in-run PSNR 15.8 dB); opaque init + faster color learning
+reaches 21.6 dB at the SAME speed and identical ATE (sweep in
+PROFILE_r04.json).  Override with GS_BENCH_INIT_OPACITY / GS_BENCH_FLR /
+GS_BENCH_ITERS to reproduce the reference-default curve.
 """
 from __future__ import annotations
 
@@ -37,8 +56,9 @@ def main():
     from gs_icp_slam_tpu.config import synthetic_config
     from gs_icp_slam_tpu.datasets import open_dataset
     from gs_icp_slam_tpu.slam import FusedEngine
-    from gs_icp_slam_tpu.slam.fused import to_chw
+    from gs_icp_slam_tpu.slam.fused import REFINE_CHUNK, to_chw
     from gs_icp_slam_tpu.slam.state import init_state
+    from gs_icp_slam_tpu.utils.se3 import invert_se3
 
     WARMUP = 6
     TIMED = 30
@@ -50,23 +70,18 @@ def main():
                            capacity=1 << 18, target_capacity=1 << 16,
                            visible_capacity=1 << 16)
     # keyframe_capacity sized to the run: a 36-frame sequence stores ~8
-    # keyframes; at the 256 default the store is 1.4 GB and the per-frame
-    # layout copies XLA inserts around it cost ~10 ms (trace_step.py) —
-    # at 64 the same copies are 2.5 ms.  Real runs (2000-frame Replica)
-    # keep the 256 default via cli/engine.
-    #
-    # mapping_iters_per_frame=1 mirrors the reference's division of labor:
-    # its tracker free-runs at the 30 FPS cap while the mapper catches up
-    # opportunistically in a second process (mp_Mapper.py:154); here the
-    # in-loop budget is 1 iter/frame and the free-running share is the
-    # separately-timed refine below.  The full tradeoff curve (iters 1-4
-    # x refine 0/192: 37.7/25.8/19.6/15.6 FPS, post-refine PSNR
-    # 27.6/29.5/31.2/32.6 dB) is recorded in PROFILE_r03.json; ATE is
-    # reported in this JSON so tracking quality at iters=1 is visible.
+    # keyframes.  (The r3 layout-copy tax at the 256 default is fixed —
+    # the stores no longer ride any lax.cond — measured within ~7% of
+    # Kc=64 now; 64 remains the honest size for a 36-frame run.)
     cfg = cfg.replace(engine=dataclasses.replace(
         cfg.engine, mapping_iters_per_frame=int(
-            os.environ.get("GS_BENCH_ITERS", "1")),
+            os.environ.get("GS_BENCH_ITERS", "2")),
         keyframe_capacity=int(os.environ.get("GS_BENCH_KC", "64"))))
+    cfg = cfg.replace(map=dataclasses.replace(
+        cfg.map, init_opacity=float(
+            os.environ.get("GS_BENCH_INIT_OPACITY", "0.5"))))
+    cfg = cfg.replace(opt=dataclasses.replace(
+        cfg.opt, feature_lr=float(os.environ.get("GS_BENCH_FLR", "1e-2"))))
     stage = int(os.environ.get("GS_BENCH_STAGE", "0"))
     if stage:
         cfg = cfg.replace(opt=dataclasses.replace(
@@ -117,9 +132,11 @@ def main():
             jnp.stack(depths[i:i + C]), jnp.stack(rgbs[i:i + C]),
             jnp.asarray([j == n - 1 for j in range(i, i + C)])))
     jax.block_until_ready(chunks[-1][0])
-    # warm the chunk compile (on a copy: see above)
+    # warm the chunk + refine compiles (on copies: see above)
     warm = eng.fused.step_chunk(copy_state(state), *chunks[0], nb, tb)
     int(jax.device_get(warm.frame_idx))
+    warm = eng.fused.refine(copy_state(state), nb)
+    jax.block_until_ready(warm.gmap.xyz)
     del warm
 
     t0 = time.time()
@@ -129,48 +146,52 @@ def main():
     elapsed = time.time() - t0
     fps = TIMED / elapsed
 
-    # tracking quality + pre-refine mapping quality
     from gs_icp_slam_tpu.eval.ate import ate_rmse
     from gs_icp_slam_tpu.models import map_params
 
     poses_np = np.asarray(jax.device_get(state.poses), np.float64)
     gt_np = np.stack([np.asarray(f.gt_c2w, np.float64) for f in frames])
     ate = float(ate_rmse(gt_np, poses_np))
-    _, psnr_raw = eng.fused.render_eval(
-        map_params(state.gmap), state.gmap.live, state.kf_w2c[0],
-        state.kf_rgb[0], state.kf_depth[0])
-    psnr_raw = float(jax.device_get(psnr_raw))
 
-    # post-run refinement, timed separately: the reference mapper
-    # free-runs after the tracker ends (mp_Mapper.py:154-248) and its
-    # reported PSNR comes AFTER that free-running; same protocol here,
-    # with the wall cost reported alongside so it can't hide in fps
-    from gs_icp_slam_tpu.slam.fused import REFINE_CHUNK
-    refine_iters = int(os.environ.get("GS_BENCH_REFINE", "192"))
+    def mean_psnr(st):
+        params = map_params(st.gmap)
+        vals = []
+        for i in range(n):
+            w2c = invert_se3(jnp.asarray(poses_np[i], jnp.float32))
+            _, p = eng.fused.render_eval(params, st.gmap.live, w2c,
+                                         rgbs[i], depths[i])
+            vals.append(float(jax.device_get(p)))
+        return float(np.mean(vals)), float(np.min(vals))
+
+    psnr_raw, psnr_raw_min = mean_psnr(state)
+
+    # refinement capped at the timed segment's wall time (see module
+    # docstring); GS_BENCH_REFINE_S overrides the cap for sweeps
+    budget_s = float(os.environ.get("GS_BENCH_REFINE_S", str(elapsed)))
+    budget_s = min(budget_s, elapsed)
+    refine_iters = 0
     t1 = time.time()
-    for _ in range(-(-refine_iters // REFINE_CHUNK) if refine_iters else 0):
+    while time.time() - t1 < budget_s:
         state = eng.fused.refine(state, nb)
-    int(jax.device_get(state.frame_idx))
+        int(jax.device_get(state.frame_idx))
+        refine_iters += REFINE_CHUNK
     refine_s = time.time() - t1
 
-    # quality alongside speed (VERDICT r1): render the latest keyframe at
-    # the final map and report its PSNR in the same JSON line
-    params = map_params(state.gmap)
-    _, psnr = eng.fused.render_eval(params, state.gmap.live,
-                                    state.kf_w2c[0], state.kf_rgb[0],
-                                    state.kf_depth[0])
-    psnr = float(jax.device_get(psnr))
+    psnr, psnr_min = mean_psnr(state)
 
     print(json.dumps({
         "metric": "slam_system_fps_replica_load_1chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 4),
-        "psnr_kf0_db": round(psnr, 2),
+        "psnr_db": round(psnr, 2),
+        "psnr_min_db": round(psnr_min, 2),
         "psnr_pre_refine_db": round(psnr_raw, 2),
+        "psnr_pre_refine_min_db": round(psnr_raw_min, 2),
         "ate_rmse_m": round(ate, 6),
         "refine_iters": refine_iters,
         "refine_s": round(refine_s, 2),
+        "refine_wall_cap_s": round(budget_s, 2),
         "num_gaussians": int(jax.device_get(state.gmap.num_live)),
         "vis_cap_dropped": int(jax.device_get(state.stat_vis_dropped)),
         "tile_cap_dropped": int(jax.device_get(state.stat_pair_dropped)),
