@@ -41,6 +41,17 @@ def _build_run_parser(sub):
     p.add_argument("--overlapped_th2", type=float, default=None)
     p.add_argument("--downsample_rate", type=int, default=None)
     p.add_argument("--max_correspondence_distance", type=float, default=None)
+    p.add_argument("--motion_model", type=str, default=None,
+                   choices=["constant_position", "constant_velocity",
+                            "adaptive"],
+                   help="G-ICP seed model (default adaptive: CP below "
+                        "~2 deg/frame predicted rotation, CV above)")
+    p.add_argument("--init_opacity", type=float, default=None,
+                   help="opacity of newly inserted gaussians (reference "
+                        "0.1; 0.5 reaches usable in-run PSNR at small "
+                        "per-frame mapping budgets)")
+    p.add_argument("--feature_lr", type=float, default=None,
+                   help="SH color learning rate (reference 2.5e-3)")
     p.add_argument("--trackable_opacity_th", type=float, default=None)
     p.add_argument("--save_results", action="store_true")
     p.add_argument("--rerun_viewer", action="store_true",
@@ -100,6 +111,8 @@ def _config_for(args):
         gicp["max_correspondence_distance"] = args.max_correspondence_distance
     if args.knn_maxd is not None:
         gicp["knn_max_distance"] = args.knn_maxd
+    if args.motion_model is not None:
+        gicp["motion_model"] = args.motion_model
     if gicp:
         cfg = cfg.replace(gicp=dataclasses.replace(cfg.gicp, **gicp))
 
@@ -114,6 +127,8 @@ def _config_for(args):
     mp = {}
     if args.trackable_opacity_th is not None:
         mp["trackable_opacity_th"] = args.trackable_opacity_th
+    if args.init_opacity is not None:
+        mp["init_opacity"] = args.init_opacity
     if args.capacity is not None:
         mp["capacity"] = args.capacity
     if mp:
@@ -133,6 +148,9 @@ def _config_for(args):
     if getattr(args, "training_stage", None) is not None:
         cfg = cfg.replace(opt=dataclasses.replace(
             cfg.opt, training_stage=args.training_stage))
+    if args.feature_lr is not None:
+        cfg = cfg.replace(opt=dataclasses.replace(
+            cfg.opt, feature_lr=args.feature_lr))
     if args.downsample_rate is not None:
         cfg = cfg.replace(downsample_rate=args.downsample_rate)
     return cfg
