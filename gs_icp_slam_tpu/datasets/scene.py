@@ -36,6 +36,35 @@ class CameraInfo:
     image_path: str
     depth_path: Optional[str] = None
     depth_scale: float = 1.0
+    # RGBA captures (NeRF-synthetic) composite onto this background when
+    # loaded via load_camera_image; None = image is already opaque RGB.
+    # The reference bakes this at read time (readCamerasFromTransforms,
+    # scene/dataset_readers.py:342-366: arr = rgb*a + bg*(1-a)).
+    bg_color: Optional[tuple] = None
+
+
+def load_camera_image(cam: "CameraInfo") -> np.ndarray:
+    """Decode a CameraInfo's image to (H, W, 3) uint8.
+
+    RGBA images alpha-composite onto cam.bg_color (the reference does
+    this at read time for Blender captures: rgb*a + bg*(1-a),
+    scene/dataset_readers.py:342-366); black background if bg_color is
+    unset.  Opaque images pass through unchanged."""
+    from PIL import Image
+
+    with Image.open(cam.image_path) as im:
+        arr = np.asarray(im.convert("RGBA") if im.mode in ("RGBA", "LA", "PA",
+                                                           "P") else im)
+    if arr.ndim == 3 and arr.shape[2] == 4:
+        rgb = arr[..., :3].astype(np.float32) / 255.0
+        a = arr[..., 3:4].astype(np.float32) / 255.0
+        bg = np.asarray(cam.bg_color if cam.bg_color is not None
+                        else (0.0, 0.0, 0.0), np.float32)
+        out = rgb * a + bg[None, None, :] * (1.0 - a)
+        return (np.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    if arr.ndim == 2:
+        return np.stack([arr] * 3, axis=-1)
+    return arr[..., :3]
 
 
 @dataclass(frozen=True)
@@ -112,8 +141,13 @@ def load_blender_scene(path: str, white_background: bool = False,
     are 100k uniform samples of the scene bounds [-1.3, 1.3]^3
     (readNerfSyntheticInfo, dataset_readers.py:384-410); `seed` makes that
     deterministic here.  `include_test` mirrors the reference's
-    eval=False default of folding transforms_test.json into training."""
+    eval=False default of folding transforms_test.json into training.
+    `white_background` sets each camera's bg_color so load_camera_image
+    alpha-composites RGBA NeRF-synthetic PNGs the way the reference bakes
+    them at read time (dataset_readers.py:342-366)."""
     import json
+
+    bgc = (1.0, 1.0, 1.0) if white_background else (0.0, 0.0, 0.0)
 
     def read_transforms(fname):
         tpath = os.path.join(path, fname)
@@ -136,7 +170,7 @@ def load_blender_scene(path: str, white_background: bool = False,
             infos.append(CameraInfo(
                 uid=idx, w2c=w2c, width=width, height=height,
                 fx=fx, fy=fx, cx=width / 2.0, cy=height / 2.0,
-                image_path=image_path))
+                image_path=image_path, bg_color=bgc))
         return infos
 
     cams = read_transforms("transforms_train.json")

@@ -302,9 +302,6 @@ def gicp_align(source: GICPSource, target: GICPTarget, init_T: jnp.ndarray,
         m00, m01, m02, m11, m12, m22 = _inv3x3_sym6(
             g9[3] + rc[0], g9[4] + rc[1], g9[5] + rc[2],
             g9[6] + rc[3], g9[7] + rc[4], g9[8] + rc[5])
-        err = jnp.sum(w * (ex * (m00 * ex + m01 * ey + m02 * ez)
-                           + ey * (m01 * ex + m11 * ey + m12 * ez)
-                           + ez * (m02 * ex + m12 * ey + m22 * ez)))
         m00, m01, m02 = m00 * w, m01 * w, m02 * w
         m11, m12, m22 = m11 * w, m12 * w, m22 * w
 
@@ -351,7 +348,7 @@ def gicp_align(source: GICPSource, target: GICPTarget, init_T: jnp.ndarray,
         H = H + cfg.lm_init_lambda * jnp.trace(H) * jnp.eye(6, dtype=H.dtype)
         delta = _chol_solve6(H, -g)
         T_new = se3_exp(delta) @ T
-        return T_new, delta, err / jnp.maximum(jnp.sum(w), 1.0), idx, sqd
+        return T_new, delta, idx, sqd
 
     def cond(state):
         _, i, converged, _, _ = state
@@ -359,7 +356,7 @@ def gicp_align(source: GICPSource, target: GICPTarget, init_T: jnp.ndarray,
 
     def body(state):
         T, i, _, _, _ = state
-        T_new, delta, _, idx, sqd = gn_step(T)
+        T_new, delta, idx, sqd = gn_step(T)
         rot_ok = jnp.max(jnp.abs(delta[:3])) < cfg.rotation_epsilon
         trn_ok = jnp.max(jnp.abs(delta[3:])) < cfg.transformation_epsilon
         return T_new, i + 1, rot_ok & trn_ok, idx, sqd

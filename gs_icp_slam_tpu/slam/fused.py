@@ -517,8 +517,11 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
                 delta = prev @ invert_se3(prev2)
                 cv = jnp.where(state.frame_idx >= 2, delta @ prev, prev)
                 if gicp_cfg.motion_model == "adaptive":
-                    # default model: CP seed + CV proposal, chosen inside
-                    # gicp_align by post-step error (its docstring)
+                    # default model: CP seed, switched to the CV proposal
+                    # inside gicp_align when the PREDICTED inter-frame
+                    # rotation exceeds cfg.adaptive_trigger_deg (magnitude
+                    # gate; post-step-error judging was tried and rejected
+                    # — gicp_align's docstring has the measurements)
                     init_T, init_T2 = prev, cv
                 else:
                     init_T = cv

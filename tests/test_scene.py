@@ -179,3 +179,44 @@ def test_scene_blender_directory(tmp_path):
     assert np.all(np.abs(info.points_xyz) <= 1.3)
     info2 = load_scene(str(d), kind="blender")
     np.testing.assert_array_equal(info.points_xyz, info2.points_xyz)
+
+
+def test_blender_white_background_composites_alpha(tmp_path):
+    """RGBA NeRF-synthetic images alpha-composite onto the requested
+    background at load (reference readCamerasFromTransforms bakes
+    rgb*a + bg*(1-a) at read time, dataset_readers.py:342-366)."""
+    import json
+
+    from PIL import Image
+
+    from gs_icp_slam_tpu.datasets.scene import load_camera_image
+
+    d = tmp_path / "ship"
+    d.mkdir()
+    (d / "train").mkdir()
+    meta = {"camera_angle_x": 0.8,
+            "frames": [{"file_path": "./train/r_0",
+                        "transform_matrix": np.eye(4).tolist()}]}
+    with open(d / "transforms_train.json", "w") as f:
+        json.dump(meta, f)
+    # half-transparent pure-red RGBA image
+    rgba = np.zeros((6, 8, 4), np.uint8)
+    rgba[..., 0] = 200
+    rgba[..., 3] = 128
+    Image.fromarray(rgba).save(str(d / "train" / "r_0.png"))
+
+    white = load_scene(str(d), kind="blender", white_background=True)
+    black = load_scene(str(d), kind="blender", white_background=False)
+    assert white.cameras[0].bg_color == (1.0, 1.0, 1.0)
+    assert black.cameras[0].bg_color == (0.0, 0.0, 0.0)
+
+    a = 128.0 / 255.0
+    img_w = load_camera_image(white.cameras[0])
+    img_b = load_camera_image(black.cameras[0])
+    assert img_w.shape == (6, 8, 3) and img_w.dtype == np.uint8
+    # red channel: rgb*a + bg*(1-a); green/blue: bg*(1-a)
+    np.testing.assert_allclose(img_w[0, 0],
+                               [round(200 * a + 255 * (1 - a)),
+                                round(255 * (1 - a)), round(255 * (1 - a))],
+                               atol=1)
+    np.testing.assert_allclose(img_b[0, 0], [round(200 * a), 0, 0], atol=1)

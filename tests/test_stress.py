@@ -75,8 +75,9 @@ def test_sparse_smooth_tracking_stays_metric():
     Regression pin for the constant-velocity dead-band drift
     (GICPConfig.motion_model docstring): a pure CV seed accumulated
     0.22 m over 20 such frames by landing inside the GN convergence
-    epsilon; the adaptive model's post-step-error choice must reject
-    that branch before feedback establishes."""
+    epsilon; the adaptive model's predicted-rotation magnitude gate
+    (cfg.adaptive_trigger_deg) must keep the CP seed on these smooth
+    frames so extrapolation error never enters the loop."""
     _, res = _run(num_frames=16, width=320, height=240, downsample=10,
                   iters_final=0)
     assert res.ate_rmse is not None
