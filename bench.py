@@ -99,7 +99,7 @@ def main():
     depths = [jnp.asarray(f.depth) for f in frames]
     rgbs = [to_chw(f.rgb) for f in frames]
     pose0 = np.asarray(frames[0].gt_c2w, np.float32)
-    state = init_state(cfg, n, pose0)
+    state = eng.fused.pin_state(init_state(cfg, n, pose0))
 
     nb, tb = eng._pick_buckets(0)
     for i in range(WARMUP):
@@ -112,8 +112,10 @@ def main():
     # shifted the pose history (frame_idx keeps advancing) and corrupted
     # the reported ATE.
     def copy_state(s):
-        return jax.tree.map(
-            lambda x: x.copy() if hasattr(x, "copy") else x, s)
+        # .copy() resets device layouts to default; re-pin the keyframe
+        # stores so copies stay valid step inputs (the jits pin layouts)
+        return eng.fused.pin_state(jax.tree.map(
+            lambda x: x.copy() if hasattr(x, "copy") else x, s))
 
     n_now = int(jax.device_get(state.gmap.n))
     nb, tb = eng._pick_buckets(n_now + 4 * eng.filt.num_points)

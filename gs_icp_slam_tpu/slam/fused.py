@@ -45,6 +45,11 @@ class FusedStep(NamedTuple):
                           # chunk; use for throughput, step for live mode
     render_eval: Callable  # (params, live, w2c, rgb_chw, depth) -> (img, psnr)
     refine: Callable      # (state,) -> state: REFINE_CHUNK mapping iters
+    pin_state: Callable   # (state,) -> state: device_put the keyframe
+                          # stores into the row-major layout the step jits
+                          # are pinned to (see make_fused_step); REQUIRED
+                          # on every freshly created/loaded state before
+                          # the first step/refine call in non-mesh mode
 
 
 REFINE_CHUNK = 64  # post-run refinement iterations per jit call (a
@@ -307,6 +312,36 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
     bg = jnp.asarray(cfg.render.bg_color, jnp.float32)
     fx, fy = intr.fx, intr.fy
     rcx, rcy = (intr.width - 1) / 2.0, (intr.height - 1) / 2.0
+
+    # ---------------- keyframe-store layout pin ----------------
+    # XLA's layout assignment, left alone, picks a SLOT-MINOR layout for
+    # the (Kc, 3, H, W)/(Kc, H, W) pixel stores (the DUS root anchors the
+    # donated home layout), then inserts full-store row-major copies in
+    # front of every mapping-side read: 4 copies x 2.6 ms + a 7.5 ms
+    # strided one-slot DUS per frame at Kc=256 (r5 trace).  Pinning the
+    # stores row-major makes the one-slot write/read contiguous (~2.4 MB)
+    # and kills every whole-store copy.  Mesh mode skips the pin (layout
+    # constraints interact with GSPMD; the stores are replicated there
+    # and the dryrun mesh is CPU anyway).
+    # the pin applies on the real TPU only: CPU layouts are always
+    # row-major (nothing to fix), and the CPU runtime hung inside
+    # engine.run when the jits carried layout Formats (r5)
+    _pin_dev = getattr(jax.config, "jax_default_device", None)
+    if _pin_dev is None:
+        _pin_dev = jax.devices()[0]
+    do_pin = mesh is None and _pin_dev.platform == "tpu"
+    if do_pin:
+        from jax.experimental.layout import Layout as _Layout
+        from jax.experimental.layout import \
+            with_layout_constraint as _with_layout
+
+        def pin_stores(state):
+            return state._replace(
+                kf_rgb=_with_layout(state.kf_rgb, _Layout((0, 1, 2, 3))),
+                kf_depth=_with_layout(state.kf_depth, _Layout((0, 1, 2))))
+    else:
+        def pin_stores(state):
+            return state
 
     # ---------------- capacity bucketing ----------------
     # Live splats occupy the prefix [0, gmap.n); the engine passes a static
@@ -604,7 +639,7 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
             kf_depth=stores[2].at[slot].set(depth_raw, mode="drop"))
         state = mapping_iters(state, cfg.engine.mapping_iters_per_frame,
                               n_bucket)
-        return state
+        return pin_stores(state)
 
     def step_chunk(state, depth_c, rgb_c, is_last_c, n_bucket=None,
                    t_bucket=None):
@@ -614,7 +649,47 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
         state, _ = jax.lax.scan(body, state, (depth_c, rgb_c, is_last_c))
         return state
 
-    if mesh is None:
+    if do_pin:
+        # The in/out layouts of the donated state must ALSO be pinned:
+        # the internal with_layout_constraint alone left the boundary
+        # layout slot-minor and XLA bracketed the program with full-store
+        # entry/exit copies (2.6 ms each, r5 trace).  Everything else
+        # stays AUTO — XLA picks e.g. transposed layouts for the (N, 3)
+        # map arrays to dodge 128-lane padding, and that freedom is worth
+        # keeping.  jit in_shardings accept pytree prefixes, so one
+        # Format leaf covers each nested tree.
+        from jax.experimental.layout import Format as _Format
+        from jax.experimental.layout import Layout as _L
+        from jax.sharding import SingleDeviceSharding as _SDS
+
+        from .state import SLAMState
+        _sds = _SDS(_pin_dev)
+        _fmt_rgb = _Format(_L((0, 1, 2, 3)), _sds)
+        _fmt_dep = _Format(_L((0, 1, 2)), _sds)
+        _fmt_state = SLAMState(**{f: None for f in SLAMState._fields})
+        _fmt_state = _fmt_state._replace(kf_rgb=_fmt_rgb,
+                                         kf_depth=_fmt_dep)
+
+        def pin_state(state):
+            return state._replace(
+                kf_rgb=jax.device_put(state.kf_rgb, _fmt_rgb),
+                kf_depth=jax.device_put(state.kf_depth, _fmt_dep))
+        step_chunk = jax.jit(step_chunk, donate_argnums=(0,),
+                             static_argnums=(4, 5),
+                             in_shardings=(_fmt_state, None, None, None),
+                             out_shardings=_fmt_state)
+        step = jax.jit(step, donate_argnums=(0,), static_argnums=(4, 5),
+                       in_shardings=(_fmt_state, None, None, None),
+                       out_shardings=_fmt_state)
+        refine = jax.jit(
+            lambda state, n_bucket=None: pin_stores(mapping_iters(
+                state, REFINE_CHUNK, n_bucket)),
+            donate_argnums=(0,), static_argnums=(1,),
+            in_shardings=(_fmt_state,), out_shardings=_fmt_state)
+    elif mesh is None:
+        def pin_state(state):
+            return state  # CPU layouts are row-major already; no pin
+
         step_chunk = jax.jit(step_chunk, donate_argnums=(0,),
                              static_argnums=(4, 5))
         step = jax.jit(step, donate_argnums=(0,), static_argnums=(4, 5))
@@ -623,6 +698,9 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
                 state, REFINE_CHUNK, n_bucket),
             donate_argnums=(0,), static_argnums=(1,))
     else:
+        def pin_state(state):
+            return state  # place_state handles device placement on a mesh
+
         from jax.sharding import NamedSharding as _NS, PartitionSpec as _PS
         from ..parallel.sharded import choose_mode, state_shardings
         st_sh = state_shardings(mesh, mode=choose_mode(
@@ -674,7 +752,8 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
     render_eval = jax.jit(render_eval)
 
     return FusedStep(step=step, step_chunk=step_chunk,
-                     render_eval=render_eval, refine=refine)
+                     render_eval=render_eval, refine=refine,
+                     pin_state=pin_state)
 
 
 class FusedEngine:
@@ -775,6 +854,8 @@ class FusedEngine:
             state = place_state(state, self.mesh, mode=choose_mode(
                 cfg.map.capacity, cfg.map.sh_degree,
                 getattr(cfg.engine, "parallel_mode", "auto")))
+        else:
+            state = self.fused.pin_state(state)
 
         fps_cap = cfg.engine.fps_cap
         n_bucket, t_bucket = self._pick_buckets(
@@ -949,4 +1030,4 @@ class FusedEngine:
     def load_checkpoint(self, path: str) -> None:
         from ..io.checkpoint import load_fused_state
 
-        self.state = load_fused_state(path)
+        self.state = self.fused.pin_state(load_fused_state(path))

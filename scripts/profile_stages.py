@@ -60,7 +60,7 @@ def main():
     depths = [jnp.asarray(f.depth) for f in frames]
     rgbs = [to_chw(f.rgb) for f in frames]
     pose0 = np.asarray(frames[0].gt_c2w, np.float32)
-    state = init_state(cfg, NWARM + 2, pose0)
+    state = eng.fused.pin_state(init_state(cfg, NWARM + 2, pose0))
     nb = tb = None
     for i in range(NWARM):
         state = eng.fused.step(state, depths[i], rgbs[i], jnp.bool_(False),

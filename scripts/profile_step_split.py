@@ -44,8 +44,8 @@ def main():
     frames = [seq[i] for i in range(NWARM + 2)]
     depths = [jnp.asarray(f.depth) for f in frames]
     rgbs = [to_chw(f.rgb) for f in frames]
-    state = init_state(cfg, NWARM + 2, np.asarray(frames[0].gt_c2w,
-                                                  np.float32))
+    state = eng.fused.pin_state(init_state(
+        cfg, NWARM + 2, np.asarray(frames[0].gt_c2w, np.float32)))
     for i in range(NWARM):
         state = eng.fused.step(state, depths[i], rgbs[i], jnp.bool_(False),
                                None, None)
@@ -59,8 +59,10 @@ def main():
             cfg.engine, mapping_iters_per_frame=iters))
         fused = make_fused_step(c2, eng.filt)
         def copy_state(s):
-            return jax.tree.map(lambda x: x.copy() if hasattr(x, "dtype")
-                                else x, s)
+            # .copy() resets layouts; re-pin (fused jits pin the stores)
+            return fused.pin_state(
+                jax.tree.map(lambda x: x.copy() if hasattr(x, "dtype")
+                             else x, s))
 
         st = copy_state(state)  # step donates arg 0: never reuse a donated
         # warm compile + state shape settle

@@ -37,8 +37,8 @@ def main():
     frames = [seq[i] for i in range(NWARM + 8)]
     depths = [jnp.asarray(f.depth) for f in frames]
     rgbs = [to_chw(f.rgb) for f in frames]
-    state = init_state(cfg, NWARM + 8, np.asarray(frames[0].gt_c2w,
-                                                  np.float32))
+    state = eng.fused.pin_state(init_state(
+        cfg, NWARM + 8, np.asarray(frames[0].gt_c2w, np.float32)))
     for i in range(NWARM):
         state = eng.fused.step(state, depths[i], rgbs[i], jnp.bool_(False),
                                None, None)

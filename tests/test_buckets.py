@@ -47,7 +47,8 @@ def test_bucket_slicing_preserves_out_of_bucket_slots():
                            target_capacity=1 << 13,
                            visible_capacity=1 << 11)
     eng = FusedEngine(seq, cfg)
-    state = init_state(cfg, 4, np.asarray(seq[0].gt_c2w, np.float32))
+    state = eng.fused.pin_state(
+        init_state(cfg, 4, np.asarray(seq[0].gt_c2w, np.float32)))
     from gs_icp_slam_tpu.slam.fused import to_chw
 
     # run two frames at a small bucket

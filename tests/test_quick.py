@@ -31,7 +31,8 @@ def _run_steps(width, height, n_frames, **cfg_kw):
     cfg = cfg.replace(engine=dataclasses.replace(
         cfg.engine, mapping_iters_per_frame=1, keyframe_capacity=8))
     eng = FusedEngine(seq, cfg)
-    state = init_state(cfg, n_frames, np.asarray(seq[0].gt_c2w, np.float32))
+    state = eng.fused.pin_state(
+        init_state(cfg, n_frames, np.asarray(seq[0].gt_c2w, np.float32)))
     nb, tb = eng._pick_buckets(0)
     for i in range(n_frames):
         fr = seq[i]
