@@ -401,8 +401,25 @@ def build_cell_idx_np(counts, starts, pair_slot, T: int, K: int, V: int):
 # Pallas double-buffers like any other block.  The window tail (rows past
 # counts[t]) belongs to the NEXT tile and is masked in-kernel.
 
+def _cumprod_sublanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative product along axis 0, log2(n) roll passes."""
+    n = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    s = 1
+    while s < n:
+        x = x * jnp.where(row >= s, pltpu.roll(x, s, axis=0), 1.0)
+        s *= 2
+    return x
+
+
 def _win_geometry(blk, px, py, tacc, nvalid):
-    """_block_geometry + row-validity mask for the window tail."""
+    """_block_geometry + row-validity mask for the window tail.
+
+    Transmittance is a DIRECT multiplicative cumprod (5 roll-mul passes)
+    rather than exp(cumsum(log1p(-alpha))): the log1p + two exps cost 3
+    transcendental VPU passes per (BKD, P) block and were ~25% of the
+    kernel's runtime (r5 A/B below); t_before = t_next / (1 - alpha) is
+    exact since alpha <= ALPHA_MAX < 1."""
     row = jax.lax.broadcasted_iota(jnp.int32, (blk.shape[0], 1), 0)
     ok = (row < nvalid).astype(jnp.float32)
     mx, my = blk[:, 0:1], blk[:, 1:2]
@@ -414,29 +431,50 @@ def _win_geometry(blk, px, py, tacc, nvalid):
     araw = opa * jnp.exp(power)
     gate = (power <= 0.0) & (araw >= ALPHA_MIN)
     alpha = jnp.where(gate, jnp.minimum(araw, ALPHA_MAX), 0.0)
-    logo = jnp.log1p(-alpha)
-    csum = _cumsum_sublanes(logo)
-    t_next = tacc * jnp.exp(csum)
-    t_before = tacc * jnp.exp(csum - logo)
+    o = 1.0 - alpha
+    cprod = _cumprod_sublanes(o)
+    t_next = tacc * cprod
+    t_before = t_next / o
     inc = (t_next >= T_EPS).astype(jnp.float32)
     w = alpha * t_before * inc
-    tacc_out = tacc * jnp.exp(csum[_BKD - 1:_BKD, :])
+    tacc_out = tacc * cprod[_BKD - 1:_BKD, :]
     return (dx, dy, power, araw, gate, alpha, t_next, t_before, inc, w,
             tacc_out)
 
 
-def _win_dma(pay_hbm, starts_ref, buf, sems, slot, t):
-    """HBM->VMEM copy of tile t's (K, 16) payload window (arbitrary row
-    offset; Mosaic rejects pl.Element blocks, so windows are manual DMAs,
-    double-buffered across the sequential grid)."""
-    K = buf.shape[1]
+def _win_dma(pay_hbm, astarts_ref, buf, sems, slot, t):
+    """HBM->VMEM copy of tile t's (16, W) CHANNEL-FIRST payload window.
+
+    The window starts at the 128-aligned floor of the tile's pair run
+    (astarts, carried as a BLOCK index scaled by 128 in-kernel so
+    Mosaic can PROVE the dynamic lane offset is aligned) and spans
+    W = K + 128 lanes so the run fits at any intra-window offset.  The
+    channel-first payload is both the fast XLA gather form (ONE lane
+    gather, no 128-lane row padding: the r4 row payload cost a 3.2 ms
+    (Np, 10) row gather + a 134 MB pad write per iteration) and 6x less
+    window DMA traffic ((16, 512) = 32 KB vs (384, 128) = 196 KB)."""
+    W = buf.shape[2]
     return pltpu.make_async_copy(
-        pay_hbm.at[pl.ds(starts_ref[t], K), :], buf.at[slot], sems.at[slot])
+        pay_hbm.at[:, pl.ds(astarts_ref[t] * 128, W)], buf.at[slot],
+        sems.at[slot])
 
 
-def _fwd_kernel_win(counts_ref, starts_ref, pay_hbm, out_ref, taccs_ref,
-                    nact_ref, buf, sems, *, ntx: int, tile_px: int, P: int,
-                    K: int):
+def _win_transpose(win, off, K: int):
+    """(16, W) channel-first window -> (K, 16) pair rows STARTING AT
+    intra-window offset `off`: one native Mosaic transpose + ONE dynamic
+    sublane roll per tile.  Folding the shift in here keeps every
+    downstream block read at a provably 32-aligned sublane offset — a
+    raw `off + i*32` dynamic slice made Mosaic emit per-block sublane
+    rotations (~2 ms/call, r5), and the shifted-identity MXU variant
+    measured 1.1 ms/call slower than this (the (K, W) x (W, 16) dot
+    pads its 16-lane output to 128 on the MXU); r4's per-32-row-block
+    transposes lost to per-issue overhead."""
+    return pltpu.roll(win.T, -off, axis=0)[:K, :]
+
+
+def _fwd_kernel_win(counts_ref, starts_ref, astarts_ref, pay_hbm, out_ref,
+                    taccs_ref, nact_ref, buf, sems, aT_ref, *, ntx: int,
+                    tile_px: int, P: int, K: int, W: int):
     t = pl.program_id(0)
     nT = pl.num_programs(0)
     slot = jax.lax.rem(t, 2)
@@ -445,13 +483,15 @@ def _fwd_kernel_win(counts_ref, starts_ref, pay_hbm, out_ref, taccs_ref,
 
     @pl.when(t == 0)
     def _():
-        _win_dma(pay_hbm, starts_ref, buf, sems, 0, 0).start()
+        _win_dma(pay_hbm, astarts_ref, buf, sems, 0, 0).start()
 
     @pl.when(t + 1 < nT)
     def _():
-        _win_dma(pay_hbm, starts_ref, buf, sems, 1 - slot, t + 1).start()
+        _win_dma(pay_hbm, astarts_ref, buf, sems, 1 - slot, t + 1).start()
 
-    _win_dma(pay_hbm, starts_ref, buf, sems, slot, t).wait()
+    _win_dma(pay_hbm, astarts_ref, buf, sems, slot, t).wait()
+    off = starts_ref[t] - astarts_ref[t] * 128
+    aT_ref[...] = _win_transpose(buf[slot], off, K)
 
     tx = t % ntx
     ty = t // ntx
@@ -471,7 +511,7 @@ def _fwd_kernel_win(counts_ref, starts_ref, pay_hbm, out_ref, taccs_ref,
     def body(carry):
         i, tacc, cr, cg, cb_, cd, tf = carry
         taccs_ref[0, pl.ds(i, 1), :] = tacc
-        blk = buf[slot, pl.ds(i * _BKD, _BKD), :]        # (BKD, 16) window
+        blk = aT_ref[pl.ds(i * _BKD, _BKD), :]     # (BKD, 16) rows
         (_, _, _, _, _, _, t_next, _, inc, w, tacc_out) = _win_geometry(
             blk, px, py, tacc, count - i * _BKD)
         cr = cr + jnp.sum(w * blk[:, 5:6], axis=0, keepdims=True)
@@ -494,9 +534,10 @@ def _fwd_kernel_win(counts_ref, starts_ref, pay_hbm, out_ref, taccs_ref,
     nact_ref[t] = n_act
 
 
-def _bwd_kernel_win(counts_ref, starts_ref, nact_ref, pay_hbm, taccs_ref,
-                    out_ref, g_ref, dpay_ref, buf, sems, dscr, *, ntx: int,
-                    tile_px: int, P: int, K: int):
+def _bwd_kernel_win(counts_ref, starts_ref, astarts_ref, nact_ref, pay_hbm,
+                    taccs_ref, out_ref, g_ref, dpay_ref, buf, sems, dscr,
+                    aT_ref, *, ntx: int, tile_px: int, P: int, K: int,
+                    W: int):
     """Reverse walk over the window blocks; gradient written CHANNEL-FIRST
     as this tile's (16, K) lane-block of the dense (16, T*K) cell grid —
     so the per-splat reduction outside is a fast LANE gather (cell_idx),
@@ -513,13 +554,15 @@ def _bwd_kernel_win(counts_ref, starts_ref, nact_ref, pay_hbm, taccs_ref,
 
     @pl.when(t == 0)
     def _():
-        _win_dma(pay_hbm, starts_ref, buf, sems, 0, 0).start()
+        _win_dma(pay_hbm, astarts_ref, buf, sems, 0, 0).start()
 
     @pl.when(t + 1 < nT)
     def _():
-        _win_dma(pay_hbm, starts_ref, buf, sems, 1 - slot, t + 1).start()
+        _win_dma(pay_hbm, astarts_ref, buf, sems, 1 - slot, t + 1).start()
 
-    _win_dma(pay_hbm, starts_ref, buf, sems, slot, t).wait()
+    _win_dma(pay_hbm, astarts_ref, buf, sems, slot, t).wait()
+    off = starts_ref[t] - astarts_ref[t] * 128
+    aT_ref[...] = _win_transpose(buf[slot], off, K)
 
     tx = t % ntx
     ty = t // ntx
@@ -537,7 +580,7 @@ def _bwd_kernel_win(counts_ref, starts_ref, nact_ref, pay_hbm, taccs_ref,
     def body(ir, suffix):
         i = nb - 1 - ir
         tacc = taccs_ref[0, pl.ds(i, 1), :]
-        blk = buf[slot, pl.ds(i * _BKD, _BKD), :]
+        blk = aT_ref[pl.ds(i * _BKD, _BKD), :]
         (dx, dy, power, araw, gate, alpha, t_next, t_before, inc, w,
          _) = _win_geometry(blk, px, py, tacc, count - i * _BKD)
         a4 = jnp.concatenate([blk[:, 5:8], blk[:, 9:10]], axis=1)
@@ -607,86 +650,102 @@ def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
     for the gather form)."""
     P = tile_px * tile_px
     NB = K // _BKD
+    W = K + 128  # aligned-window span: 128-floor of start + full K run
 
-    # payload rows are 128-lane padded (channels in lanes 0..15): Mosaic
-    # DMA slices must be 128-aligned on the lane dim, while row offsets
-    # are free (HBM tiling (1, 128)) — so windows at arbitrary starts
-    # cost 8x bytes but stay single-DMA.  Still ~20x less traffic than
-    # the dense gather chain this replaces.
-    win_scratch = [pltpu.VMEM((2, K, 128), jnp.float32),
-                   pltpu.SemaphoreType.DMA((2,))]
+    # CHANNEL-FIRST (16, Np) payload: one XLA lane gather builds it (the
+    # r4 row payload paid a 3.2 ms (Np, 10) row gather + 134 MB 128-lane
+    # pad write per iteration), and each tile DMAs a (16, W) window at
+    # the 128-aligned floor of its run start (lane slices must be
+    # aligned), then un-transposes ONCE per tile on the MXU.
+    win_scratch = [pltpu.VMEM((2, 16, W), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.VMEM((K, 16), jnp.float32)]
     grid_fwd = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(T,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec((1, 8, P), lambda t, c, s: (t, 0, 0),
+        out_specs=[pl.BlockSpec((1, 8, P), lambda t, c, s, a: (t, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, NB, P), lambda t, c, s: (t, 0, 0),
+                   pl.BlockSpec((1, NB, P), lambda t, c, s, a: (t, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=list(win_scratch),
     )
     grid_bwd = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(T,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec((1, NB, P), lambda t, c, s, a: (t, 0, 0),
+                  pl.BlockSpec((1, NB, P), lambda t, c, s, a, n: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 8, P), lambda t, c, s, a: (t, 0, 0),
+                  pl.BlockSpec((1, 8, P), lambda t, c, s, a, n: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 8, P), lambda t, c, s, a: (t, 0, 0),
+                  pl.BlockSpec((1, 8, P), lambda t, c, s, a, n: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((16, K), lambda t, c, s, a: (0, t),
+        out_specs=pl.BlockSpec((16, K), lambda t, c, s, a, n: (0, t),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=list(win_scratch) + [
-            pltpu.VMEM((K, 16), jnp.float32)],
+        scratch_shapes=[win_scratch[0], win_scratch[1],
+                        pltpu.VMEM((K, 16), jnp.float32), win_scratch[2]],
     )
 
-    def fwd_call(counts, starts, payload):
+    def fwd_call(counts, starts, astarts, payload):
         return pl.pallas_call(
-            partial(_fwd_kernel_win, ntx=ntx, tile_px=tile_px, P=P, K=K),
+            partial(_fwd_kernel_win, ntx=ntx, tile_px=tile_px, P=P, K=K,
+                    W=W),
             grid_spec=grid_fwd,
             out_shape=[jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
                        jax.ShapeDtypeStruct((T, NB, P), jnp.float32),
                        jax.ShapeDtypeStruct((T,), jnp.int32)],
             interpret=interpret,
-        )(counts, starts, payload)
+        )(counts, starts, astarts, payload)
 
-    def bwd_call(counts, starts, nact, payload, taccs, out, g):
+    def bwd_call(counts, starts, astarts, nact, payload, taccs, out, g):
         return pl.pallas_call(
-            partial(_bwd_kernel_win, ntx=ntx, tile_px=tile_px, P=P, K=K),
+            partial(_bwd_kernel_win, ntx=ntx, tile_px=tile_px, P=P, K=K,
+                    W=W),
             grid_spec=grid_bwd,
             out_shape=jax.ShapeDtypeStruct((16, T * K), jnp.float32),
             interpret=interpret,
-        )(counts, starts, nact, payload, taccs, out, g)
+        )(counts, starts, astarts, nact, payload, taccs, out, g)
 
     def _payload(pair_slot, attr_v16):
-        pay = attr_v16[:, pair_slot].T                   # (Np, 16) rows
-        return jnp.pad(pay, ((0, 0), (0, 112)))          # 128-lane rows
+        # (16, Np) channel-first — ONE lane gather, no padding; Np must
+        # be a multiple of 128 with >= K + 128 sentinel tail (the caller
+        # pads pair_slot accordingly) so every aligned window is in range
+        return attr_v16[:, pair_slot]
+
+    def _astarts(starts):
+        return starts // 128  # BLOCK index; the kernel scales by 128
 
     @jax.custom_vjp
     def composite(counts, starts, pair_slot, cell_idx, attr_v16):
-        out, _, _ = fwd_call(counts, starts, _payload(pair_slot, attr_v16))
+        out, _, _ = fwd_call(counts, starts, _astarts(starts),
+                             _payload(pair_slot, attr_v16))
         return out
 
     def composite_fwd(counts, starts, pair_slot, cell_idx, attr_v16):
         payload = _payload(pair_slot, attr_v16)
-        out, taccs, nact = fwd_call(counts, starts, payload)
-        return out, (counts, starts, nact, cell_idx,
+        astarts = _astarts(starts)
+        out, taccs, nact = fwd_call(counts, starts, astarts, payload)
+        return out, (counts, starts, astarts, nact, cell_idx,
                      attr_v16.shape[1], payload, taccs, out)
 
     def composite_bwd(res, g):
-        counts, starts, nact, cell_idx, Vp, payload, taccs, out = res
-        dflat = bwd_call(counts, starts, nact, payload, taccs, out,
-                         g)  # (16, T*K) channel-first cell grid
+        (counts, starts, astarts, nact, cell_idx, Vp, payload, taccs,
+         out) = res
+        dflat = bwd_call(counts, starts, astarts, nact, payload, taccs,
+                         out, g)  # (16, T*K) channel-first cell grid
         # splat gradients: every splat composites in <= M cells, whose
-        # flat indices cell_idx enumerates — a LANE gather + M-way sum,
-        # no scatter (index T*K = absent pair, masked to zero)
-        ok = (cell_idx < T * K).astype(jnp.float32)      # (M, V)
-        idx = jnp.minimum(cell_idx, T * K - 1)
-        per_pair = dflat[:, idx] * ok[None]              # (16, M, V)
-        d_attr = jnp.pad(jnp.sum(per_pair, axis=1),
-                         ((0, 0), (0, Vp - cell_idx.shape[1])))
+        # flat indices cell_idx enumerates — M separate (16, V) LANE
+        # gathers + sum, no scatter (index T*K = absent pair, masked to
+        # zero).  One (16, M, V) gather instead got materialized through
+        # the row-gather engine at 1.19 ms (r5 trace); the per-m unroll
+        # stays on the fast lane-gather path.
+        d_attr = jnp.zeros((16, cell_idx.shape[1]), jnp.float32)
+        for m in range(cell_idx.shape[0]):
+            okm = (cell_idx[m] < T * K).astype(jnp.float32)   # (V,)
+            idxm = jnp.minimum(cell_idx[m], T * K - 1)
+            d_attr = d_attr + dflat[:, idxm] * okm[None]
+        d_attr = jnp.pad(d_attr, ((0, 0), (0, Vp - cell_idx.shape[1])))
         return None, None, None, None, d_attr
     composite.defvjp(composite_fwd, composite_bwd)
     # internals exposed for stage-level profiling (scripts/profile_*)

@@ -131,12 +131,39 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
     vslot = jnp.arange(V, dtype=jnp.int32)
     vok = vslot < jnp.minimum(vcount, V)
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    P = tile * tile
+    pallas_path = use_pallas and K % 128 == 0 and P % 128 == 0
+
     # only the pair build needs per-splat screen data at V: two lane rows
-    # + the radius (the full (10, V) gather is skipped — the composite
-    # gather below indexes the original attr directly)
-    mx = attr[0, vis_order]
-    my = attr[1, vis_order]
-    radius = jnp.where(vok, radius_i[vis_order], 0).astype(jnp.float32)
+    # + the radius.  On the Pallas path these are SLICES of the compacted
+    # attr_v16 table (built below anyway for the payload) — standalone
+    # attr[0, vis_order] gathers got layout-assigned onto the row-gather
+    # engine once the payload consumer transposed the attr buffer, and
+    # measured 0.5 ms EACH (r5 trace); the radius rides along as an 11th
+    # compacted row for the same reason.
+    if pallas_path:
+        vis_order_p = jnp.concatenate(
+            [vis_order, jnp.full((1,), N, jnp.int32)])
+        attr_p = jnp.pad(attr, ((0, 0), (0, 1)))
+        # order_full is a FULL permutation, so its inverse is one more
+        # 2-operand sort; _compact_cols then makes the compaction
+        # backward a gather instead of a (16, V) scatter-add
+        _, inv_full = jax.lax.sort(
+            (order_full, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
+        radius_row = jnp.where(visible, radius_i.astype(jnp.float32), 0.0)
+        attr11 = jnp.concatenate(
+            [attr_p, jnp.pad(radius_row, (0, 1))[None]], axis=0)
+        attr_v16 = jnp.pad(_compact_cols(attr11, vis_order_p, inv_full),
+                           ((0, 5), (0, 0)))
+        mx = attr_v16[0, :V]
+        my = attr_v16[1, :V]
+        radius = attr_v16[10, :V]  # 0 where invisible (radius_row mask)
+    else:
+        mx = attr[0, vis_order]
+        my = attr[1, vis_order]
+        radius = jnp.where(vok, radius_i[vis_order], 0).astype(jnp.float32)
 
     # ---- build (D*D, V) tile pairs, CHANNEL-FIRST --------------------------
     # (V, D, D) layouts pad their trailing dims to the (8, 128) TPU tile —
@@ -175,10 +202,7 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
     pair_dropped = jnp.sum(run - counts)
     start = start[:-1]
 
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    P = tile * tile
-    if use_pallas and K % 128 == 0 and P % 128 == 0:
+    if pallas_path:
         # ---- pair-window composite (no dense tile gather) ---------------
         # pair_slot is pure arithmetic on the sorted keys; the kernel
         # reads each tile's contiguous payload window directly
@@ -187,32 +211,29 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
         from .composite_pallas import make_composite_win
 
         pair_slot = jnp.minimum(key_s & ((1 << S) - 1), V)  # sentinel -> V
-        # slot -> original splat attrs, ONE plain lane gather at V scale;
-        # slot V = zero splat (attr row N of the padded table)
-        vis_order_p = jnp.concatenate(
-            [vis_order, jnp.full((1,), N, jnp.int32)])
-        attr_p = jnp.pad(attr, ((0, 0), (0, 1)))
-        # order_full is a FULL permutation, so its inverse is one more
-        # 2-operand sort; _compact_cols then makes the compaction
-        # backward a gather instead of a (16, V) scatter-add
-        _, inv_full = jax.lax.sort(
-            (order_full, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
-        attr_v16 = jnp.pad(_compact_cols(attr_p, vis_order_p, inv_full),
-                           ((0, 6), (0, 0)))
-        # pad pair rows so the last tiles' windows stay in bounds
+        # attr_v16 (the compacted 16-row table incl. the radius row) was
+        # built above, before the pair build, so mx/my/radius are slices
+        # pad pair rows so the last tiles' ALIGNED (K + 128)-wide windows
+        # stay in bounds (the kernel floors each window start to 128)
         pair_slot = jnp.concatenate(
-            [pair_slot, jnp.full((K,), V, jnp.int32)])
+            [pair_slot, jnp.full((K + 128,), V, jnp.int32)])
 
         # inverse map for the backward: pair (d, v) -> dense cell t*K +
         # rank-in-tile (or T*K when dropped/invalid).  Rank is free:
-        # sorted row r of tile t has rank r - start[t].  The inverse
-        # permutation is applied by SORTING (pid_s, cell_of_r) — a 262k
-        # scatter-set measured 3.0 ms on v5e, the 2-operand sort 0.2 ms
+        # sorted row r of tile t has rank r - run_start(r), where
+        # run_start rides a cummax over run boundaries — the start[t_of_r]
+        # table gather this replaces measured 1.4 ms/iteration on v5e
+        # (262k-row gathers pay ~5 ns/row; the log-step scan is pure VPU).
+        # The inverse permutation is applied by SORTING (pid_s, cell_of_r)
+        # — a 262k scatter-set measured 3.0 ms, the 2-operand sort 0.2 ms
         # (TPU scatters serialize; sorts don't).
         Npr = key_s.shape[0]
         rr = jnp.arange(Npr, dtype=jnp.int32)
         t_of_r = jnp.clip(key_s >> S, 0, T - 1)
-        k_of_r = rr - start[t_of_r]
+        new_run = jnp.concatenate(
+            [jnp.ones((1,), bool), t_of_r[1:] != t_of_r[:-1]])
+        run_start = jax.lax.cummax(jnp.where(new_run, rr, 0))
+        k_of_r = rr - run_start
         cell_of_r = jnp.where((key_s != SENTINEL) & (k_of_r < K),
                               t_of_r * K + k_of_r, T * K)
         _, cell_idx = jax.lax.sort((pid_s, cell_of_r), num_keys=1)
