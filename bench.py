@@ -91,7 +91,8 @@ def main():
     if tile:
         cfg = cfg.replace(render=dataclasses.replace(
             cfg.render, tile_size=tile,
-            max_per_tile=int(os.environ.get("GS_BENCH_K", "256"))))
+            max_per_tile=int(os.environ.get("GS_BENCH_K", "256")),
+            tile_span=int(os.environ.get("GS_BENCH_SPAN", "2"))))
 
     eng = FusedEngine(seq, cfg)
     n = WARMUP + TIMED

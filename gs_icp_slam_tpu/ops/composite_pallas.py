@@ -362,6 +362,16 @@ def _bwd_kernel_dyn(counts_ref, attrs_ref, taccs_ref, out_ref, g_ref,
         daT, ident, _CONTRACT_00, preferred_element_type=jnp.float32)
 
 
+def win_span(K: int) -> int:
+    """Payload window span for tile capacity K: K + 128 (the 128-floor
+    of the run start plus the full run) rounded UP to a power of two —
+    pltpu.roll with a DYNAMIC shift miscompiles on non-power-of-two
+    sublane dims (W=384 produced wrong colors at full bench geometry,
+    r5; 256/512 are exact).  rasterize_tiled pads the payload tail by
+    this amount so every aligned window stays in range."""
+    return 1 << (K + 128 - 1).bit_length()
+
+
 def build_cell_idx_np(counts, starts, pair_slot, T: int, K: int, V: int):
     """Host-side inverse pair map for tests/benches of make_composite_win.
 
@@ -650,7 +660,7 @@ def make_composite_win(T: int, ntx: int, tile_px: int, K: int,
     for the gather form)."""
     P = tile_px * tile_px
     NB = K // _BKD
-    W = K + 128  # aligned-window span: 128-floor of start + full K run
+    W = win_span(K)
 
     # CHANNEL-FIRST (16, Np) payload: one XLA lane gather builds it (the
     # r4 row payload paid a 3.2 ms (Np, 10) row gather + 134 MB 128-lane

@@ -213,10 +213,11 @@ def rasterize_tiled(xyz, quat, scale, opacity, sh, w2c, live, bg,
         pair_slot = jnp.minimum(key_s & ((1 << S) - 1), V)  # sentinel -> V
         # attr_v16 (the compacted 16-row table incl. the radius row) was
         # built above, before the pair build, so mx/my/radius are slices
-        # pad pair rows so the last tiles' ALIGNED (K + 128)-wide windows
-        # stay in bounds (the kernel floors each window start to 128)
+        # pad pair rows so the last tiles' ALIGNED win_span(K)-wide
+        # windows stay in bounds (the kernel floors window starts to 128)
+        from .composite_pallas import win_span
         pair_slot = jnp.concatenate(
-            [pair_slot, jnp.full((K + 128,), V, jnp.int32)])
+            [pair_slot, jnp.full((win_span(K),), V, jnp.int32)])
 
         # inverse map for the backward: pair (d, v) -> dense cell t*K +
         # rank-in-tile (or T*K when dropped/invalid).  Rank is free:

@@ -38,9 +38,10 @@ def smoke_composite_win(T, ntx, tile_px, K, V):
     rng = np.random.default_rng(0)
     counts_np = rng.integers(0, K + 1, size=(T,)).astype(np.int32)
     starts_np = (np.cumsum(counts_np) - counts_np).astype(np.int32)
-    # window DMA reads [starts[t], starts[t]+K): pad K rows past the last
+    # window DMA reads the aligned win_span(K) window: pad past the last
     # run, exactly as rasterize_tiled does
-    Np = int(counts_np.sum()) + K
+    from gs_icp_slam_tpu.ops.composite_pallas import win_span
+    Np = int(counts_np.sum()) + win_span(K)
     counts = jnp.asarray(counts_np)
     starts = jnp.asarray(starts_np)
     pair_slot = jnp.asarray(rng.integers(0, V, size=(Np,)).astype(np.int32))
@@ -65,6 +66,39 @@ def smoke_composite_win(T, ntx, tile_px, K, V):
 
     (l, out), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(attr_v16)
     _check(name + " fwd+bwd", out, g, l)
+
+    # VALUE check vs a numpy front-to-back oracle on a few tiles: a
+    # finite-only check shipped the W=384 dynamic-roll miscompile (wrong
+    # colors, perfectly finite — r5); this pins output VALUES on real
+    # Mosaic lowering at every smoked K
+    from gs_icp_slam_tpu.ops.projection import ALPHA_MAX, ALPHA_MIN, T_EPS
+    outs = np.asarray(jax.device_get(out))
+    pair_np = np.asarray(jax.device_get(pair_slot))
+    for t in range(0, T, max(1, T // 7)):
+        run = pair_np[starts_np[t]:starts_np[t] + counts_np[t]]
+        a = attr[:, run]
+        tx, ty = t % ntx, t // ntx
+        pid = np.arange(P)
+        px = tx * tile_px + pid % tile_px
+        py = ty * tile_px + pid // tile_px
+        dx = px[None, :] - a[0][:, None]
+        dy = py[None, :] - a[1][:, None]
+        power = (-0.5 * (a[2][:, None] * dx * dx + a[4][:, None] * dy * dy)
+                 - a[3][:, None] * dx * dy)
+        alpha = a[8][:, None] * np.exp(power)
+        alpha = np.where((power <= 0) & (alpha >= ALPHA_MIN),
+                         np.minimum(alpha, ALPHA_MAX), 0.0)
+        tr = np.ones(P)
+        rgb = np.zeros((3, P))
+        for k in range(alpha.shape[0]):
+            t_next = tr * (1.0 - alpha[k])
+            inc = t_next >= T_EPS
+            w = alpha[k] * tr * inc
+            rgb += w * a[5:8, k][:, None]
+            tr = np.where(inc, t_next, tr)
+        err = np.abs(outs[t, 0:3] - rgb).max()
+        assert err < 2e-3, f"{name}: tile {t} oracle mismatch {err}"
+    print(f"  ok: {name} oracle values")
 
 
 def smoke_composite_dyn(T, ntx, tile_px, K):
@@ -150,6 +184,9 @@ def main():
     smoke_composite_win(836, 38, 32, 384, 16384)
     # small-scene geometry the quality tests use: 128x96, tile 32 -> 12
     smoke_composite_win(12, 4, 32, 512, 4096)
+    # K=256: its K+128=384 window is NOT a power of two — the case whose
+    # dynamic sublane roll miscompiled before win_span() rounded up (r5)
+    smoke_composite_win(96, 12, 32, 256, 4096)
     smoke_composite_dyn(48, 8, 16, 128)
     smoke_knn()
     smoke_full_raster(256, 192, 32, 4096, 256)
