@@ -65,6 +65,21 @@ class GICPConfig:
     # the 4x rotation stress ~4.6 deg/frame gives CP 12.0 cm vs
     # CV 3.1 cm.
     adaptive_trigger_deg: float = 2.0
+    # Degeneracy-aware solution remapping (Zhang & Kaess 2016, "On
+    # Degeneracy of Optimization-based State Estimation"): zero the GN
+    # update along eigendirections of H whose eigenvalue falls below
+    # this fraction of the largest — those directions are unobservable
+    # from the current geometry (e.g. a view filled by ONE wall leaves
+    # along-wall translation free) and the unremapped step slides along
+    # them.  Root-caused from the bench's ATE plateau: frames 0-33
+    # tracked at ~0.1 mm while the last two frames (96% single-wall
+    # coverage) slid 4.4/8.9 cm (scripts/ate_decompose.py).  0 disables.
+    # fast_gicp has no equivalent; its pose would slide identically.
+    # Swept on scripts/ate_decompose.py: 1e-3 never engages (plane_eps
+    # regularization floors the weak eigenvalue near 1e-3 of max), 3e-3
+    # -> 0.185 cm ATE, 1e-2 -> 0.307 cm (over-clamps mildly-constrained
+    # frames); bench ATE without it: 1.46 cm.
+    degeneracy_thresh: float = 3e-3
 
 
 @dataclass(frozen=True)
@@ -115,6 +130,16 @@ class KeyframeConfig:
     keyframe_freq: int = 10  # mapping KF every N frames since tracking KF
     overlapped_th: float = 5e-4  # sq-dist threshold for overlap counting
     overlapped_th2: float = 5e-5  # sq-dist threshold for dedup before insert
+    # Squared-distance insertion gate for NEW gaussians on every keyframe
+    # (0 = off, the reference behavior: add_from_pcd2_tensor inserts ALL
+    # downsampled points per keyframe, gaussian_model.py:165-186, so the
+    # map grows linearly with keyframes even when revisiting — fine on a
+    # 24 GB desktop GPU with dynamic tensors, but a fixed-capacity TPU
+    # map saturates: a 400-frame revisit-heavy orbit hit 524k live and
+    # 440k visible-cap drops, scripts/long_run.py r5).  When > 0, points
+    # whose G-ICP correspondence distance is below the gate skip
+    # insertion: revisited surfaces stop growing the map.
+    insert_dedup_sqd: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -77,7 +77,7 @@ class SyntheticSequence(RGBDSequence):
     def __init__(self, intr: Intrinsics, scene: SyntheticScene,
                  num_frames: int, radius: float = 0.7,
                  angular_step: float = 0.02, noise_depth: float = 0.0,
-                 seed: int = 0):
+                 seed: int = 0, trajectory: str = "sweep"):
         self.intr = intr
         self.scene = scene
         self.num_frames = num_frames
@@ -85,6 +85,7 @@ class SyntheticSequence(RGBDSequence):
         self.angular_step = angular_step
         self.noise_depth = noise_depth
         self.seed = seed
+        self.trajectory = trajectory
         self._rays = _camera_rays(intr)
         self._half = np.asarray(scene.half_extent, np.float64)
 
@@ -92,15 +93,30 @@ class SyntheticSequence(RGBDSequence):
         return self.num_frames
 
     def pose(self, i: int) -> np.ndarray:
-        """Smooth orbit inside the box with gentle bobbing + panning."""
+        """Smooth orbit inside the box with gentle bobbing + panning.
+
+        trajectory="sweep" (default, the bench scene): the yaw sweeps
+        continuously, so long sequences eventually DWELL on a single
+        wall — a geometrically degenerate stretch no geometry-only ICP
+        (fast_gicp included) can track through (see
+        GICPConfig.degeneracy_thresh).  trajectory="corner" oscillates
+        the yaw about a box corner so every frame keeps >= 2 walls in
+        view: the long-run stability scene (scripts/long_run.py),
+        matching how Replica rooms always keep structure in frame."""
         a = self.angular_step * i
         yaw0 = 0.55  # initial yaw so frame 0 already sees a wall corner
         center = np.array([self.radius * np.sin(a),
                            0.2 * np.sin(0.7 * a),
                            self.radius * (np.cos(a) - 1.0) * 0.5])
-        look_dir = np.array([np.sin(yaw0 + a + 0.4 * np.sin(0.5 * a)),
+        if self.trajectory == "corner":
+            # oscillate about the +x/+z corner direction (pi/4), never
+            # closer than ~0.4 rad to a wall normal -> >= 2 walls visible
+            yaw = 0.785 + 0.35 * np.sin(0.9 * a)
+        else:
+            yaw = yaw0 + a + 0.4 * np.sin(0.5 * a)
+        look_dir = np.array([np.sin(yaw),
                              0.15 * np.sin(0.9 * a),
-                             np.cos(yaw0 + a + 0.4 * np.sin(0.5 * a))])
+                             np.cos(yaw)])
         c2w = np.eye(4)
         c2w[:3, :3] = _look_rotation(look_dir)
         c2w[:3, 3] = center

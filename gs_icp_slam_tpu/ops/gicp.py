@@ -347,6 +347,17 @@ def gicp_align(source: GICPSource, target: GICPTarget, init_T: jnp.ndarray,
         g = jnp.concatenate([g0, g1])
         H = H + cfg.lm_init_lambda * jnp.trace(H) * jnp.eye(6, dtype=H.dtype)
         delta = _chol_solve6(H, -g)
+        if cfg.degeneracy_thresh > 0.0:
+            # solution remapping (Zhang & Kaess 2016): directions of H
+            # with eigenvalue < thresh * max are unobservable from the
+            # current geometry (single-wall views) — zero the update
+            # there so the pose HOLDS the motion-model seed instead of
+            # sliding along the scene plane (GICPConfig.degeneracy_thresh
+            # has the measured failure this fixes)
+            evals, evecs = jnp.linalg.eigh(H)
+            keep = (evals >= cfg.degeneracy_thresh * evals[-1]
+                    ).astype(delta.dtype)
+            delta = evecs @ (keep * (evecs.T @ delta))
         T_new = se3_exp(delta) @ T
         return T_new, delta, idx, sqd
 

@@ -595,9 +595,14 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
                 new_trackable = jnp.where(
                     tracking_kf,
                     trackable & (sqd > cfg.kf.overlapped_th2), trackable)
+                insert_ok = valid & do_insert
+                if cfg.kf.insert_dedup_sqd > 0.0:
+                    # bounded-memory insertion (KeyframeConfig docstring):
+                    # points already covered by the map skip insertion
+                    insert_ok = insert_ok & (sqd > cfg.kf.insert_dedup_sqd)
                 gmap = add_gaussians(state.gmap, pts_w, colors, rots_w,
                                      source.scales, z, new_trackable,
-                                     valid & do_insert,
+                                     insert_ok,
                                      init_opacity=cfg.map.init_opacity)
                 state = state._replace(gmap=gmap)
                 return store_keyframe(state, do_insert)
