@@ -172,7 +172,14 @@ class RenderConfig:
     # 32 px quarters the tile count and halves the pair count for
     # bit-identical output (bench: 10.7 -> 13.2 FPS; 64 px plateaus)
     tile_size: int = 32
-    max_per_tile: int = 512  # per-tile gaussian list capacity (K)
+    # HARD CEILING on the per-tile gaussian list capacity (K).  The
+    # engine sizes K from the expected pairs-per-tile (fused.py); this
+    # ceiling only bounds VMEM for pathological configs.  It was 512
+    # through r4, which silently clamped BELOW the estimate on small-T
+    # scenes (96x72 = 9 tiles, est 1820): harmless while the r4 tile_rect
+    # cropped coverage, but the r5 coverage fix pushed real counts past
+    # 512 and cost 4 dB in the keyframe-overflow stress scenario.
+    max_per_tile: int = 4096
     visible_capacity: int = 1 << 17  # per-view visible gaussians cap (V)
     # max tiles a splat covers per axis (D): the pair array is D^2 x V, so
     # D drives the binning sort/payload size.  2 at 32-px tiles = a 64-px

@@ -675,10 +675,31 @@ def make_fused_step(cfg: SLAMConfig, filt: DownsampleFilter,
         _fmt_state = _fmt_state._replace(kf_rgb=_fmt_rgb,
                                          kf_depth=_fmt_dep)
 
+        from jax.experimental.layout import \
+            with_layout_constraint as _wlc
+
+        # the relayout rides a jitted with_layout_constraint — IN the
+        # HLO — rather than jax.device_put: the target layout of a plain
+        # transfer lives only in compile OPTIONS, and the persistent
+        # compile cache intermittently served a colliding plain-copy
+        # executable whose output kept the source layout (stress_record
+        # scenario 3 failed the jit layout check depending on which
+        # program was cached first, r5); an in-program constraint makes
+        # the cache key unambiguous and the output layout load-bearing
+        _pin_rgb = jax.jit(lambda x: _wlc(x, _L((0, 1, 2, 3))),
+                           out_shardings=_fmt_rgb)
+        _pin_dep = jax.jit(lambda x: _wlc(x, _L((0, 1, 2))),
+                           out_shardings=_fmt_dep)
+
         def pin_state(state):
-            return state._replace(
-                kf_rgb=jax.device_put(state.kf_rgb, _fmt_rgb),
-                kf_depth=jax.device_put(state.kf_depth, _fmt_dep))
+            out = state._replace(kf_rgb=_pin_rgb(state.kf_rgb),
+                                 kf_depth=_pin_dep(state.kf_depth))
+            got = out.kf_rgb.format.layout.major_to_minor
+            assert got == (0, 1, 2, 3), (
+                f"keyframe-store relayout produced {got}; the compile "
+                f"cache likely served a stale executable — clear "
+                f"~/.cache/jax_comp_cache")
+            return out
         step_chunk = jax.jit(step_chunk, donate_argnums=(0,),
                              static_argnums=(4, 5),
                              in_shardings=(_fmt_state, None, None, None),
